@@ -1,0 +1,404 @@
+"""Host-side scene construction.
+
+The ergonomic equivalent of the reference's `io*` class tier (ioScene.h,
+ioTexture.h, ioMaterial.h, ioSphere.h, ioAARect.h, ioTransform.h ...):
+python calls assemble numpy SoA tables which `build()` freezes into the
+device `Scene` pytree.  Distinctive TPU-side work done here:
+
+- **Transform pre-baking**: rigid transforms applied to spheres / moving
+  spheres / volume spheres are folded into their centers (a rigid transform
+  maps a sphere to a sphere), leaving per-ray object-space transforms only
+  for the few primitives that need them (rotated rects / volume boxes).
+  The reference instead always routes rays through the instance transform
+  (ioGeometryInstance.h:84-88).
+- **Static chunk planning**: primitives are sorted by (type, rect axis,
+  has-transform) and padded so the intersection sweep compiles to one
+  specialized lockstep test per chunk (see ops/intersect.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random as _pyrandom
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from rtw_tpu.models import scene as S
+
+ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "assets")
+
+
+# --------------------------------------------------------------------------
+# Transforms (ioTransform.h:15-131; row-major 4x4, applied right-to-left:
+# T @ R means rotate first then translate, matching `transf = translate(...);
+# transf *= rotateY(...)` in ioScene.h:546-548)
+# --------------------------------------------------------------------------
+
+def translate(offset) -> np.ndarray:
+    m = np.eye(4, dtype=np.float64)
+    m[:3, 3] = offset
+    return m
+
+
+def _rot(axis: int, deg: float) -> np.ndarray:
+    a = np.deg2rad(deg)
+    c, s = np.cos(a), np.sin(a)
+    m = np.eye(4, dtype=np.float64)
+    i, j = [(1, 2), (0, 2), (0, 1)][axis]
+    m[i, i] = c
+    m[j, j] = c
+    if axis == 1:  # rotateY sign convention (ioTransform.h:105-116)
+        m[i, j] = s
+        m[j, i] = -s
+    else:
+        m[i, j] = -s
+        m[j, i] = s
+    return m
+
+
+def rotate_x(deg: float) -> np.ndarray:
+    return _rot(0, deg)
+
+
+def rotate_y(deg: float) -> np.ndarray:
+    return _rot(1, deg)
+
+
+def rotate_z(deg: float) -> np.ndarray:
+    return _rot(2, deg)
+
+
+def scale(sx, sy, sz) -> np.ndarray:
+    return np.diag([sx, sy, sz, 1.0]).astype(np.float64)
+
+
+def _is_rigid(m: np.ndarray) -> bool:
+    r = m[:3, :3]
+    return bool(np.allclose(r @ r.T, np.eye(3), atol=1e-5))
+
+
+# --------------------------------------------------------------------------
+# Builder
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _Prim:
+    ptype: int
+    params: np.ndarray        # [9]
+    material: int
+    transform: Optional[np.ndarray]   # 4x4 object->world or None
+    axis: int = 0             # rect axis
+
+
+class SceneBuilder:
+    def __init__(self, perlin_seed: int = 0):
+        self._prims: list[_Prim] = []
+        self._mat_type: list[int] = []
+        self._mat_tex: list[int] = []
+        self._mat_fuzz: list[float] = []
+        self._mat_eta: list[float] = []
+        self._tex_rows: list[dict] = []
+        self._images: list[np.ndarray] = []
+        self._lights: list[dict] = []
+        self._camera: Optional[S.Camera] = None
+        self._perlin_rng = _pyrandom.Random(perlin_seed)
+        self._perlin: Optional[tuple] = None
+
+    # --- textures (ioTexture.h) ------------------------------------------
+    def _add_tex(self, **kw) -> int:
+        row = dict(tex_type=S.TEX_NULL, color=(0.0, 0.0, 0.0), odd=0, even=0,
+                   scale=1.0, image_id=-1)
+        row.update(kw)
+        self._tex_rows.append(row)
+        return len(self._tex_rows) - 1
+
+    def constant_texture(self, color) -> int:
+        return self._add_tex(tex_type=S.TEX_CONSTANT, color=tuple(color))
+
+    def null_texture(self) -> int:
+        return self._add_tex(tex_type=S.TEX_NULL)
+
+    def checker_texture(self, odd: int, even: int) -> int:
+        for child in (odd, even):
+            if self._tex_rows[child]["tex_type"] == S.TEX_CHECKER:
+                raise ValueError("checker children must be non-checker textures")
+        return self._add_tex(tex_type=S.TEX_CHECKER, odd=odd, even=even)
+
+    def noise_texture(self, scale: float) -> int:
+        self._ensure_perlin()
+        return self._add_tex(tex_type=S.TEX_NOISE, scale=scale)
+
+    def image_texture(self, path: str) -> int:
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB")
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        # store with row 0 at v=0 (image bottom), matching the reference's
+        # row flip at load (ioTexture.h:252-275) + normalized-v fetch
+        arr = arr[::-1].copy()
+        self._images.append(arr)
+        return self._add_tex(tex_type=S.TEX_IMAGE, image_id=len(self._images) - 1)
+
+    def _ensure_perlin(self):
+        if self._perlin is not None:
+            return
+        rnd = self._perlin_rng.random
+        ranvec = np.empty((256, 3), np.float32)
+        for i in range(256):
+            v = np.array([-1 + 2 * rnd(), -1 + 2 * rnd(), -1 + 2 * rnd()])
+            ranvec[i] = v / np.linalg.norm(v)
+
+        def perm():
+            p = list(range(256))
+            # Fisher-Yates exactly as ioTexture.h:130-137
+            for i in range(255, 0, -1):
+                target = int(rnd() * (i + 1))
+                p[i], p[target] = p[target], p[i]
+            return np.array(p, np.int32)
+
+        self._perlin = (ranvec, perm(), perm(), perm())
+
+    # --- materials (material/io*.h) --------------------------------------
+    def _add_mat(self, mtype, tex, fuzz=0.0, eta=1.0) -> int:
+        self._mat_type.append(mtype)
+        self._mat_tex.append(tex)
+        self._mat_fuzz.append(fuzz)
+        self._mat_eta.append(eta)
+        return len(self._mat_type) - 1
+
+    def lambertian(self, tex: int) -> int:
+        return self._add_mat(S.MAT_LAMBERTIAN, tex)
+
+    def metal(self, tex: int, fuzz: float) -> int:
+        # fuzz clamped to 1 (ioMetalMaterial.h:34-38)
+        return self._add_mat(S.MAT_METAL, tex, fuzz=min(fuzz, 1.0))
+
+    def dielectric(self, eta: float) -> int:
+        return self._add_mat(S.MAT_DIELECTRIC, self.null_texture(), eta=eta)
+
+    def diffuse_light(self, tex: int) -> int:
+        return self._add_mat(S.MAT_DIFFUSE_LIGHT, tex)
+
+    def isotropic(self, tex: int) -> int:
+        return self._add_mat(S.MAT_ISOTROPIC, tex)
+
+    def normal_material(self) -> int:
+        return self._add_mat(S.MAT_NORMAL, self.null_texture())
+
+    # --- geometry (geometry/io*.h) ---------------------------------------
+    def _params(self, *vals) -> np.ndarray:
+        p = np.zeros(S.NUM_PRIM_PARAMS, np.float32)
+        p[: len(vals)] = vals
+        return p
+
+    def sphere(self, center, radius, material: int, transform=None):
+        center = np.asarray(center, np.float64)
+        if transform is not None and _is_rigid(transform):
+            center = (transform[:3, :3] @ center) + transform[:3, 3]
+            transform = None
+        self._prims.append(_Prim(S.PRIM_SPHERE,
+                                 self._params(*center, radius), material, transform))
+
+    def moving_sphere(self, c0, c1, radius, t0, t1, material: int, transform=None):
+        c0 = np.asarray(c0, np.float64)
+        c1 = np.asarray(c1, np.float64)
+        if transform is not None and _is_rigid(transform):
+            c0 = (transform[:3, :3] @ c0) + transform[:3, 3]
+            c1 = (transform[:3, :3] @ c1) + transform[:3, 3]
+            transform = None
+        self._prims.append(_Prim(S.PRIM_MOVING_SPHERE,
+                                 self._params(*c0, radius, *c1, t0, t1),
+                                 material, transform))
+
+    def rect(self, a0, a1, b0, b1, k, flip: bool, axis: int, material: int,
+             transform=None):
+        """Axis-aligned rect (ioAARect.h). axis in {AXIS_X, AXIS_Y, AXIS_Z};
+        (a, b) are the two non-`axis` coordinates in ascending axis order."""
+        self._prims.append(_Prim(S.PRIM_RECT,
+                                 self._params(a0, a1, b0, b1, k, axis, 1.0 if flip else 0.0),
+                                 material, transform, axis=axis))
+
+    def box(self, bmin, bmax, material: int, transform=None):
+        """Axis-aligned box from 6 rects, in the exact order/flip layout of
+        ioGeometryGroup.h createBox (outward normals: flip at min faces)."""
+        x0, y0, z0 = bmin
+        x1, y1, z1 = bmax
+        self.rect(x0, x1, y0, y1, z0, True, S.AXIS_Z, material, transform)
+        self.rect(x0, x1, y0, y1, z1, False, S.AXIS_Z, material, transform)
+        self.rect(x0, x1, z0, z1, y0, True, S.AXIS_Y, material, transform)
+        self.rect(x0, x1, z0, z1, y1, False, S.AXIS_Y, material, transform)
+        self.rect(y0, y1, z0, z1, x0, True, S.AXIS_X, material, transform)
+        self.rect(y0, y1, z0, z1, x1, False, S.AXIS_X, material, transform)
+
+    def volume_sphere(self, center, radius, density, material: int, transform=None):
+        center = np.asarray(center, np.float64)
+        if transform is not None and _is_rigid(transform):
+            center = (transform[:3, :3] @ center) + transform[:3, 3]
+            transform = None
+        self._prims.append(_Prim(S.PRIM_VOLUME_SPHERE,
+                                 self._params(*center, radius, density),
+                                 material, transform))
+
+    def volume_box(self, bmin, bmax, density, material: int, transform=None):
+        self._prims.append(_Prim(S.PRIM_VOLUME_BOX,
+                                 self._params(*bmin, *bmax, density),
+                                 material, transform))
+
+    # --- lights (LightDefinition, raydata.cuh:31-48) ----------------------
+    def add_light(self, position, vec_u, vec_v, emission):
+        u = np.asarray(vec_u, np.float64)
+        v = np.asarray(vec_v, np.float64)
+        n = np.cross(u, v)
+        area = float(np.linalg.norm(n))
+        self._lights.append(dict(position=np.asarray(position, np.float64),
+                                 vec_u=u, vec_v=v,
+                                 emission=np.asarray(emission, np.float64),
+                                 area=area, normal=n / max(area, 1e-30)))
+
+    # --- camera -----------------------------------------------------------
+    def set_camera(self, lookfrom, lookat, vup, vfov, aspect, aperture,
+                   focus_dist, t0=0.0, t1=0.0):
+        self._camera = S.make_camera(lookfrom, lookat, vup, vfov, aspect,
+                                     aperture, focus_dist, t0, t1)
+
+    # --- build ------------------------------------------------------------
+    def build(self, chunk_size: int = 256) -> S.Scene:
+        if self._camera is None:
+            raise ValueError("scene has no camera")
+        if not self._prims:
+            raise ValueError("scene has no geometry")
+
+        # assign volume slots (order = declaration order)
+        n_vol = 0
+        vol_slots = {}
+        for i, p in enumerate(self._prims):
+            if p.ptype in (S.PRIM_VOLUME_SPHERE, S.PRIM_VOLUME_BOX):
+                vol_slots[i] = n_vol
+                n_vol += 1
+
+        # group by (ptype, axis-for-rects, has_transform)
+        def key(i):
+            p = self._prims[i]
+            return (p.ptype, p.axis if p.ptype == S.PRIM_RECT else 0,
+                    p.transform is not None)
+
+        order = sorted(range(len(self._prims)), key=key)
+        groups: list[tuple] = []
+        for i in order:
+            k = key(i)
+            if groups and groups[-1][0] == k:
+                groups[-1][1].append(i)
+            else:
+                groups.append((k, [i]))
+
+        ptype_arr, params_arr, mat_arr, o2w_arr, w2o_arr, slot_arr = [], [], [], [], [], []
+        chunk_plan = []
+        cursor = 0
+        pad_param = np.zeros(S.NUM_PRIM_PARAMS, np.float32)
+
+        for (ptype, axis, has_xform), idxs in groups:
+            count = len(idxs)
+            if count > chunk_size:
+                # large group: scanned in fixed blocks (see ops/intersect.py)
+                block = chunk_size
+                size = -(-count // block) * block
+            else:
+                # small group: one padded VPU-friendly block
+                block = max(8, -(-count // 8) * 8)
+                size = block
+            chunk_plan.append((cursor, count, size, ptype, axis, has_xform,
+                               block))
+            for i in idxs:
+                p = self._prims[i]
+                ptype_arr.append(p.ptype)
+                params_arr.append(p.params)
+                mat_arr.append(p.material)
+                m = p.transform if p.transform is not None else np.eye(4)
+                o2w_arr.append(m[:3].astype(np.float32))
+                w2o_arr.append(np.linalg.inv(m)[:3].astype(np.float32))
+                slot_arr.append(vol_slots.get(i, -1))
+            for _ in range(size - count):
+                ptype_arr.append(ptype)
+                params_arr.append(pad_param)
+                mat_arr.append(0)
+                o2w_arr.append(S.IDENTITY_3X4)
+                w2o_arr.append(S.IDENTITY_3X4)
+                slot_arr.append(-1)
+            cursor += size
+
+        prims = S.Primitives(
+            prim_type=jnp.asarray(np.array(ptype_arr, np.int32)),
+            params=jnp.asarray(np.stack(params_arr)),
+            material_id=jnp.asarray(np.array(mat_arr, np.int32)),
+            o2w=jnp.asarray(np.stack(o2w_arr)),
+            w2o=jnp.asarray(np.stack(w2o_arr)),
+            vol_slot=jnp.asarray(np.array(slot_arr, np.int32)),
+        )
+
+        materials = S.Materials(
+            mat_type=jnp.asarray(np.array(self._mat_type, np.int32)),
+            albedo_tex=jnp.asarray(np.array(self._mat_tex, np.int32)),
+            fuzz=jnp.asarray(np.array(self._mat_fuzz, np.float32)),
+            eta=jnp.asarray(np.array(self._mat_eta, np.float32)),
+        )
+
+        if self._perlin is None:
+            self._ensure_perlin()
+        ranvec, px, py, pz = self._perlin
+
+        if self._images:
+            h = max(im.shape[0] for im in self._images)
+            w = max(im.shape[1] for im in self._images)
+            atlas = np.zeros((len(self._images), h, w, 3), np.float32)
+            dims = np.zeros((len(self._images), 2), np.int32)
+            for i, im in enumerate(self._images):
+                atlas[i, : im.shape[0], : im.shape[1]] = im
+                dims[i] = (im.shape[0], im.shape[1])
+        else:
+            atlas = np.zeros((1, 1, 1, 3), np.float32)
+            dims = np.ones((1, 2), np.int32)
+
+        textures = S.Textures(
+            tex_type=jnp.asarray(np.array([r["tex_type"] for r in self._tex_rows], np.int32)),
+            color=jnp.asarray(np.array([r["color"] for r in self._tex_rows], np.float32)),
+            odd=jnp.asarray(np.array([r["odd"] for r in self._tex_rows], np.int32)),
+            even=jnp.asarray(np.array([r["even"] for r in self._tex_rows], np.int32)),
+            scale=jnp.asarray(np.array([r["scale"] for r in self._tex_rows], np.float32)),
+            image_id=jnp.asarray(np.array([r["image_id"] for r in self._tex_rows], np.int32)),
+            ranvec=jnp.asarray(ranvec),
+            perm_x=jnp.asarray(px),
+            perm_y=jnp.asarray(py),
+            perm_z=jnp.asarray(pz),
+            images=jnp.asarray(atlas),
+            image_dims=jnp.asarray(dims),
+        )
+
+        if self._lights:
+            lights = S.Lights(
+                position=jnp.asarray(np.stack([l["position"] for l in self._lights]).astype(np.float32)),
+                vec_u=jnp.asarray(np.stack([l["vec_u"] for l in self._lights]).astype(np.float32)),
+                vec_v=jnp.asarray(np.stack([l["vec_v"] for l in self._lights]).astype(np.float32)),
+                emission=jnp.asarray(np.stack([l["emission"] for l in self._lights]).astype(np.float32)),
+                area=jnp.asarray(np.array([l["area"] for l in self._lights], np.float32)),
+                normal=jnp.asarray(np.stack([l["normal"] for l in self._lights]).astype(np.float32)),
+            )
+        else:  # one dummy row so shapes stay static; masked out via count=0
+            z3 = jnp.zeros((1, 3), jnp.float32)
+            lights = S.Lights(position=z3, vec_u=z3, vec_v=z3, emission=z3,
+                              area=jnp.ones((1,), jnp.float32), normal=z3)
+
+        scene = S.Scene(
+            prims=prims,
+            materials=materials,
+            textures=textures,
+            lights=lights,
+            camera=self._camera,
+            sky_light=jnp.asarray(0.0 if self._lights else 1.0, jnp.float32),
+            n_vol=n_vol,
+            chunk_plan=tuple(chunk_plan),
+            num_lights=len(self._lights),
+        )
+        return scene

@@ -1,0 +1,84 @@
+"""Render configuration.
+
+Replaces the reference's hand-rolled flag parsing + hard-coded constants
+(RestOfLife/main.cpp:21-54, RestOfLife/Director.cpp:42-46) with one dataclass.
+Defaults mirror the reference CLI defaults (main.cpp:34-37) except that `spp`
+is a *live* parameter here: the reference parses `-ns` but traces exactly one
+sample per pixel and relies on the OptiX denoiser (raygen/raygen.cu:133-147);
+we restore the books' true multi-sample estimator (SURVEY §7.4 quirk 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (compile-time) configuration of one render.
+
+    Everything here is hashable so a config can be a `static_argnum` to jit.
+    """
+
+    nx: int = 1200                # image width  (reference main.cpp:34)
+    ny: int = 600                 # image height (reference main.cpp:35)
+    spp: int = 20                 # samples per pixel (reference default Ns, main.cpp:37)
+    max_depth: int = 20           # bounce limit (reference Director.cpp:42)
+    seed: int = 0                 # RNG stream seed
+    scene_id: int = 4             # default scene (reference main.cpp:36)
+
+    # Estimator switches -----------------------------------------------------
+    # True  -> proper MIS: BSDF-sampled rays that hit a light are weighted by
+    #          powerHeuristic(bsdf_pdf, light_pdf) (unbiased).
+    # False -> reference parity: BSDF-side light hits are unweighted, only the
+    #          NEE side carries the power heuristic (closehit.cu:111-113 with
+    #          diffuseLight.cu adding full emission) — slightly overcounts.
+    mis_bsdf_weight: bool = True
+    # Russian roulette start depth (raygen.cu:74 starts at depth >= 2).
+    rr_start_depth: int = 2
+
+    # Execution shape --------------------------------------------------------
+    # Rays are traced in flattened batches of this many pixels; the spp loop
+    # accumulates into a float32 [ny*nx, 3] buffer. 0 = whole image per batch.
+    ray_batch: int = 0
+    # Samples per jitted accumulation step (python loop iterates spp/spp_chunk).
+    spp_chunk: int = 0            # 0 = auto
+    # Intersection prim-chunk size (prims tested per vectorized block).
+    prim_chunk: int = 128
+
+    # Differentiability ------------------------------------------------------
+    # When True the bounce loop uses lax.scan with a static trip count so
+    # reverse-mode AD works; when False a lax.while_loop early-exits once all
+    # rays in the batch are dead (faster for plain rendering).
+    differentiable: bool = False
+
+    # Misc -------------------------------------------------------------------
+    gamma: float = 2.0            # output gamma (raygen.cu:150-155 uses sqrt)
+    t_min: float = 1e-6           # ray epsilon (raygen.cu:46)
+    t_max: float = 1e27           # effectively RT_DEFAULT_MAX
+    shadow_eps: float = 5.0e-5    # occlusion ray epsilon (closehit.cu:100: 500*1e-7)
+
+    def __post_init__(self):
+        if self.nx <= 0 or self.ny <= 0:
+            raise ValueError(f"bad image size {self.nx}x{self.ny}")
+        if self.spp <= 0:
+            raise ValueError("spp must be positive")
+        if self.max_depth <= 0:
+            raise ValueError("max_depth must be positive")
+
+    @property
+    def num_pixels(self) -> int:
+        return self.nx * self.ny
+
+    def resolved_ray_batch(self) -> int:
+        n = self.ray_batch
+        if n <= 0 or n > self.num_pixels:
+            return self.num_pixels
+        return n
+
+    def resolved_spp_chunk(self) -> int:
+        if self.spp_chunk > 0:
+            return min(self.spp_chunk, self.spp)
+        # auto: keep batches of rays*spp_chunk around ~2M paths per step
+        per = max(1, 2_000_000 // max(1, self.resolved_ray_batch()))
+        return min(per, self.spp)

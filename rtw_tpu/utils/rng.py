@@ -1,0 +1,108 @@
+"""Random-number discipline.
+
+Device side: counter-based threefry (`jax.random`) keyed by logical
+(pixel, sample, bounce) indices.  This replaces the reference's stateful
+`tea<64>`-seeded LCG stream (RestOfLife/lib/random.cuh, raygen.cu:129) and is
+what makes the estimator independent of device count / mesh shape: a pixel's
+sample draws the same uniforms no matter which chip traces it.
+
+Host side: an exact reimplementation of the reference's xorshift32 `randf`
+(lib/random.cuh:22-38) — the random scenes (MovingSpheres seed 0x314759,
+InOneWeekendLight seed 0x6314759, TheNextWeekFinal seed 0x6314759) are built
+with the literal bit-exact sequence so scene geometry matches the reference
+exactly (SURVEY §7.3 "RNG parity").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Per-bounce uniform slot layout (columns of the [N, NU] draw block).
+# One block of uniforms is drawn per ray per bounce; every consumer reads a
+# fixed column, which keeps the consumption order data-independent (unlike the
+# reference's call-site-ordered LCG stream).
+U_SCATTER_0 = 0        # material scatter draw 1 (cosine phi / sphere z / ...)
+U_SCATTER_1 = 1        # material scatter draw 2
+U_SCATTER_2 = 2        # material scatter draw 3 (unit-sphere radius shaping)
+U_DIELECTRIC = 3       # reflect-vs-refract proposal
+U_LIGHT_SELECT = 4     # uniform light index
+U_LIGHT_A = 5          # point-on-light u
+U_LIGHT_B = 6          # point-on-light v
+U_RR = 7               # russian roulette
+NUM_FIXED_SLOTS = 8
+# Columns [NUM_FIXED_SLOTS, NUM_FIXED_SLOTS + n_vol) hold the free-flight
+# draws for volume primitive slot v on the main ray; the following n_vol
+# columns hold the same for the NEE occlusion ray.
+
+
+def base_key(seed: int) -> jax.Array:
+    return jax.random.key(seed)
+
+
+def pixel_sample_keys(key: jax.Array, pixel_idx: jax.Array, sample_idx) -> jax.Array:
+    """Key for each (pixel, sample) path. pixel_idx: int32 [N]."""
+    k = jax.random.fold_in(key, sample_idx)
+    return jax.vmap(lambda p: jax.random.fold_in(k, p))(pixel_idx)
+
+
+def bounce_uniforms(path_keys: jax.Array, bounce, n_slots: int) -> jax.Array:
+    """Draw the per-bounce uniform block: [N, n_slots] in [0, 1)."""
+    def draw(k):
+        return jax.random.uniform(jax.random.fold_in(k, bounce), (n_slots,), jnp.float32)
+    return jax.vmap(draw)(path_keys)
+
+
+def camera_uniforms(path_keys: jax.Array) -> jax.Array:
+    """Draws consumed before the bounce loop: jitter s,t; lens u1,u2; time."""
+    def draw(k):
+        return jax.random.uniform(jax.random.fold_in(k, 0x0CA4), (5,), jnp.float32)
+    return jax.vmap(draw)(path_keys)
+
+
+# ---------------------------------------------------------------------------
+# Host scene-construction RNG (bit-exact vs reference lib/random.cuh)
+# ---------------------------------------------------------------------------
+
+class XorShift32:
+    """Reference host RNG: xorshift32 + float mapping of lib/random.cuh:22-38."""
+
+    def __init__(self, seed: int):
+        if seed == 0:
+            raise ValueError("xorshift32 state must be nonzero")
+        self.state = np.uint32(seed)
+
+    def next_u32(self) -> int:
+        s = int(self.state)
+        s ^= (s << 13) & 0xFFFFFFFF
+        s ^= s >> 17
+        s ^= (s << 5) & 0xFFFFFFFF
+        self.state = np.uint32(s)
+        return s
+
+    def randf(self) -> float:
+        # float(u32) / 2^32, with the reference's curious guard that a result
+        # of exactly 1.0 returns the bit pattern 0x3F7FFFFF *as an int
+        # converted to float* (random.cuh:34-37). float32(u32)/2^32 can round
+        # to 1.0 for u32 > 0xFFFFFF80; reproduce the guard faithfully.
+        u = self.next_u32()
+        rnd = np.float32(np.float32(u) / np.float32(4294967296.0))
+        if rnd != np.float32(1.0):
+            return float(rnd)
+        return float(0x3F7FFFFF)  # literal int-to-float conversion quirk
+
+
+def mt19937_float_stream(seed: int = 0):
+    """Float stream used by the reference's Perlin tables
+    (texture/ioTexture.h:21-26: std::mt19937(0) + uniform_real_distribution).
+
+    The exact C++ distribution mapping is implementation-defined; we use the
+    canonical mt19937 32-bit output mapped to [0,1) which matches
+    generate_canonical with one 32-bit variate.  Divergence from MSVC's
+    mapping is possible and accepted (SURVEY §2.1 textures: tables are only
+    required to be *a* valid Perlin permutation set).
+    """
+    rng = np.random.Generator(np.random.MT19937(seed))
+    while True:
+        yield float(rng.integers(0, 2**32) / 2**32)

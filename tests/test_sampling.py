@@ -1,0 +1,85 @@
+"""Unit tests for math/sampling primitives (SURVEY §4 tier 1)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rtw_tpu.ops import sampling as sm
+
+
+def _u(rng, n):
+    return jnp.asarray(rng.random(n, dtype=np.float32))
+
+
+def test_onb_orthonormal(rng):
+    n = jnp.asarray(rng.normal(size=(512, 3)).astype(np.float32))
+    u, v, w = sm.build_onb(n)
+    for a in (u, v, w):
+        np.testing.assert_allclose(np.asarray(sm.length(a)), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sm.dot(u, v)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sm.dot(v, w)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sm.dot(u, w)), 0.0, atol=1e-5)
+    # w aligned with n
+    np.testing.assert_allclose(
+        np.asarray(sm.dot(w, sm.normalize(n))), 1.0, atol=1e-5)
+
+
+def test_cosine_direction_distribution(rng):
+    n = 200_000
+    d = sm.cosine_direction(_u(rng, n), _u(rng, n))
+    d = np.asarray(d)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
+    # E[cos theta] = 2/3 for pdf = cos/pi
+    assert abs(d[:, 2].mean() - 2.0 / 3.0) < 5e-3
+    # pdf integrates: mean of 1/(pdf) * cos/pi over samples == 1
+    pdf = d[:, 2] / np.pi
+    assert np.all(pdf > 0)
+
+
+def test_unit_disk_radius(rng):
+    n = 100_000
+    p = np.asarray(sm.unit_disk(_u(rng, n), _u(rng, n)))
+    r = np.linalg.norm(p, axis=1)
+    assert r.max() <= 1.0 + 1e-6
+    # uniform disk: E[r] = 2/3
+    assert abs(r.mean() - 2.0 / 3.0) < 5e-3
+
+
+def test_unit_ball_uniform(rng):
+    n = 100_000
+    p = np.asarray(sm.unit_ball(_u(rng, n), _u(rng, n), _u(rng, n)))
+    r = np.linalg.norm(p, axis=1)
+    assert r.max() <= 1.0 + 1e-6
+    # uniform ball: E[r] = 3/4
+    assert abs(r.mean() - 3.0 / 4.0) < 5e-3
+    assert abs(p.mean()) < 5e-3
+
+
+def test_sphere_surface_uniform(rng):
+    n = 100_000
+    d = np.asarray(sm.sphere_surface(_u(rng, n), _u(rng, n)))
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
+    assert np.abs(d.mean(axis=0)).max() < 6e-3
+
+
+def test_schlick_identities():
+    # normal incidence: r0 = ((1-1.5)/(2.5))^2 = 0.04
+    r = sm.fresnel_schlick(jnp.asarray([1.0]), jnp.asarray([1.0]), jnp.asarray([1.5]))
+    np.testing.assert_allclose(np.asarray(r), 0.04, atol=1e-6)
+    # grazing: -> 1
+    r = sm.fresnel_schlick(jnp.asarray([0.0]), jnp.asarray([1.0]), jnp.asarray([1.5]))
+    np.testing.assert_allclose(np.asarray(r), 1.0, atol=1e-6)
+
+
+def test_reflect():
+    d = jnp.asarray([[1.0, -1.0, 0.0]])
+    n = jnp.asarray([[0.0, 1.0, 0.0]])
+    r = np.asarray(sm.reflect(d, n))
+    np.testing.assert_allclose(r, [[1.0, 1.0, 0.0]], atol=1e-6)
+
+
+def test_power_heuristic():
+    # raydata.cuh:167-171
+    assert abs(float(sm.power_heuristic(jnp.float32(1.0), jnp.float32(1.0))) - 0.5) < 1e-6
+    assert float(sm.power_heuristic(jnp.float32(10.0), jnp.float32(0.1))) > 0.99
