@@ -1,0 +1,59 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): Mrays/s/chip on the Cornell box.  The
+reference publishes no numbers (BASELINE.md), so vs_baseline is measured
+against the recorded first-round figure below; 1.0 = parity with round 1.
+
+Rays counted = every traversal query actually issued (camera + bounce +
+NEE shadow rays), the same accounting OptiX applications use.  Wall time
+excludes compilation (one warm-up run) and includes device sync.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# First recorded figure on one v5e chip (round 1). Update only the
+# *_BASELINE constants when re-baselining.
+MRAYS_BASELINE = None  # set after first recorded run
+
+BENCH_NX = 800
+BENCH_NY = 800
+BENCH_SPP = 64          # scaled-down Cornell workload; same per-ray work as
+                        # the 1000-spp target, statistically identical rays/s
+BENCH_DEPTH = 20
+
+
+def main():
+    from rtw_tpu import RenderConfig, build_scene, render
+
+    cfg = RenderConfig(nx=BENCH_NX, ny=BENCH_NY, spp=BENCH_SPP,
+                       max_depth=BENCH_DEPTH, scene_id=0)
+    scene = build_scene(0, cfg.nx, cfg.ny)
+
+    # warm-up: compile + first tunnel transfer
+    warm_cfg = RenderConfig(nx=BENCH_NX, ny=BENCH_NY, spp=1,
+                            max_depth=BENCH_DEPTH, scene_id=0)
+    render(scene, warm_cfg)
+
+    metrics = {}
+    img = render(scene, cfg, metrics=metrics)
+    assert np.isfinite(np.asarray(img)).all()
+
+    mrays = metrics["mrays_per_sec"]
+    vs = (mrays / MRAYS_BASELINE) if MRAYS_BASELINE else 1.0
+    print(json.dumps({
+        "metric": "cornell_800x800_mrays_per_sec_per_chip",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(vs, 3),
+    }))
+    print(json.dumps({"detail": {k: (round(v, 3) if isinstance(v, float) else v)
+                                 for k, v in metrics.items()}}), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,12 +54,13 @@ class PathState:
     time: Any          # [N] shutter gather time
     prev_pdf: Any      # [N] bsdf pdf of previous diffuse bounce (MIS carry)
     prev_diffuse: Any  # [N] bool: previous bounce eligible for MIS light-hit
+    ray_count: Any     # scalar f32: rays traced (bounce + NEE shadow rays)
 
 
 jax.tree_util.register_pytree_node(
     PathState,
     lambda s: ((s.origin, s.direction, s.throughput, s.radiance, s.alive,
-                s.time, s.prev_pdf, s.prev_diffuse), None),
+                s.time, s.prev_pdf, s.prev_diffuse, s.ray_count), None),
     lambda _, l: PathState(*l),
 )
 
@@ -96,6 +97,7 @@ def generate_camera_rays(scene: S.Scene, cfg, pixel_idx, path_keys) -> PathState
         time=time,
         prev_pdf=jnp.ones((n,), jnp.float32),
         prev_diffuse=jnp.zeros((n,), bool),
+        ray_count=jnp.zeros((), jnp.float32),
     )
 
 
@@ -122,6 +124,7 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     occ_u = U[:, R.NUM_FIXED_SLOTS + nv: R.NUM_FIXED_SLOTS + 2 * nv]
 
     o, d = state.origin, state.direction
+    ray_count = state.ray_count + jnp.sum(state.alive.astype(jnp.float32))
     hit = intersect_scene(scene, o, d, cfg.t_min, cfg.t_max, state.time, vol_u)
     miss = hit.prim_idx < 0
     hit_alive = state.alive & ~miss
@@ -241,6 +244,7 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
 
         nee_active = (hit_alive & is_lamb & ~cancel
                       & (l_pdf > 0.0) & (bsdf_pdf > 0.0))
+        ray_count = ray_count + jnp.sum(nee_active.astype(jnp.float32))
         shadowed = occluded(scene, hit.point, ldir_u, cfg.shadow_eps,
                             ldist - cfg.shadow_eps, state.time, occ_u)
         w_nee = sm.power_heuristic(l_pdf, bsdf_pdf)
@@ -272,13 +276,16 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
 
     return PathState(origin=origin, direction=direction, throughput=throughput,
                      radiance=radiance, alive=alive, time=state.time,
-                     prev_pdf=prev_pdf, prev_diffuse=prev_diffuse)
+                     prev_pdf=prev_pdf, prev_diffuse=prev_diffuse,
+                     ray_count=ray_count)
 
 
-def trace_paths(scene: S.Scene, cfg, pixel_idx, sample_idx, key):
-    """Trace one sample for each pixel in `pixel_idx`; returns [N, 3] linear
-    radiance.  Uses a while_loop that exits once every path is dead (cheap
-    tail bounces) or lax.scan when cfg.differentiable (reverse-mode AD)."""
+def trace_paths_counted(scene: S.Scene, cfg, pixel_idx, sample_idx, key):
+    """Trace one sample for each pixel in `pixel_idx`.
+
+    Returns ([N, 3] linear radiance, scalar ray count).  Uses a while_loop
+    that exits once every path is dead (cheap tail bounces) or lax.scan when
+    cfg.differentiable (reverse-mode AD needs a static trip count)."""
     path_keys = R.pixel_sample_keys(key, pixel_idx, sample_idx)
     state = generate_camera_rays(scene, cfg, pixel_idx, path_keys)
 
@@ -299,4 +306,10 @@ def trace_paths(scene: S.Scene, cfg, pixel_idx, sample_idx, key):
         _, state = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), state))
 
     # NaN scrub (raygen.cu:17-24 removeNaNs)
-    return jnp.nan_to_num(state.radiance, nan=0.0, posinf=0.0, neginf=0.0)
+    radiance = jnp.nan_to_num(state.radiance, nan=0.0, posinf=0.0, neginf=0.0)
+    return radiance, state.ray_count
+
+
+def trace_paths(scene: S.Scene, cfg, pixel_idx, sample_idx, key):
+    """As trace_paths_counted but radiance only."""
+    return trace_paths_counted(scene, cfg, pixel_idx, sample_idx, key)[0]

@@ -248,7 +248,10 @@ class SceneBuilder:
                                  material, transform))
 
     # --- lights (LightDefinition, raydata.cuh:31-48) ----------------------
-    def add_light(self, position, vec_u, vec_v, emission):
+    def add_light(self, position, vec_u, vec_v, emission, tex: int = -1):
+        """`tex` optionally names the texture row backing the light's
+        emission so NEE and BSDF-side emission share one differentiable
+        parameter (see diff.py)."""
         u = np.asarray(vec_u, np.float64)
         v = np.asarray(vec_v, np.float64)
         n = np.cross(u, v)
@@ -256,7 +259,8 @@ class SceneBuilder:
         self._lights.append(dict(position=np.asarray(position, np.float64),
                                  vec_u=u, vec_v=v,
                                  emission=np.asarray(emission, np.float64),
-                                 area=area, normal=n / max(area, 1e-30)))
+                                 area=area, normal=n / max(area, 1e-30),
+                                 tex=tex))
 
     # --- camera -----------------------------------------------------------
     def set_camera(self, lookfrom, lookat, vup, vfov, aspect, aperture,
@@ -400,5 +404,6 @@ class SceneBuilder:
             n_vol=n_vol,
             chunk_plan=tuple(chunk_plan),
             num_lights=len(self._lights),
+            light_tex=tuple(l["tex"] for l in self._lights),
         )
         return scene

@@ -54,7 +54,8 @@ def cornell_box(aspect: float, dof: str = "reference") -> S.Scene:
     wall_green = b.lambertian(b.constant_texture((0.12, 0.45, 0.15)))
     wall_white = b.lambertian(b.constant_texture((0.73, 0.73, 0.73)))
     aluminum = b.metal(b.constant_texture((0.91, 0.92, 0.92)), 0.018)
-    light15 = b.diffuse_light(b.constant_texture((15.0, 15.0, 15.0)))
+    light15_tex = b.constant_texture((15.0, 15.0, 15.0))
+    light15 = b.diffuse_light(light15_tex)
     glass = b.dielectric(1.5)
 
     b.sphere((190.0, 90.0, 190.0), 90.0, glass)
@@ -73,7 +74,7 @@ def cornell_box(aspect: float, dof: str = "reference") -> S.Scene:
     b.add_light(position=(213.0, 554.0, 227.0),
                 vec_u=(343.0 - 213.0, 0.0, 0.0),
                 vec_v=(0.0, 0.0, 332.0 - 227.0),
-                emission=(15.0, 15.0, 15.0))
+                emission=(15.0, 15.0, 15.0), tex=light15_tex)
 
     b.set_camera((278, 278, -800), (278, 278, 0), (0, 1, 0), 40.0, aspect,
                  _aperture(dof, 1.0), 10.0, t0=0.0, t1=1.0)
@@ -155,7 +156,7 @@ def in_one_weekend_light(aspect: float, dof: str = "reference") -> S.Scene:
     b.rect(3.0, 5.0, 1.0, 3.0, -2.0, False, S.AXIS_Z, b.diffuse_light(light16))
     b.add_light(position=(3.0, 1.0, -2.0),
                 vec_u=(2.0, 0.0, 0.0), vec_v=(0.0, 2.0, 0.0),
-                emission=(16.0, 16.0, 16.0))
+                emission=(16.0, 16.0, 16.0), tex=light16)
 
     _small_spheres(b, XorShift32(0x6314759), moving=False)
 
@@ -228,7 +229,7 @@ def the_next_week_final(aspect: float, dof: str = "reference") -> S.Scene:
     b.rect(123, 423, 147, 412, 554.0, True, S.AXIS_Y, b.diffuse_light(light7))
     b.add_light(position=(123.0, 554.0, 147.0),
                 vec_u=(300.0, 0.0, 0.0), vec_v=(0.0, 0.0, 265.0),
-                emission=(7.0, 7.0, 7.0))
+                emission=(7.0, 7.0, 7.0), tex=light7)
 
     b.sphere((260.0, 150.0, 45.0), 50.0, b.dielectric(1.5))       # glass
     b.sphere((0.0, 150.0, 145.0), 50.0, b.metal(metal1, 0.2))     # metal

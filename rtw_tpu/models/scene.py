@@ -233,19 +233,24 @@ class Scene:
     # (start, count, padded_size, prim_type, rect_axis, has_transform)
     chunk_plan: tuple = ()
     num_lights: int = 0  # static: gates the NEE code path
+    # static: texture row backing each light's emission (diffuse-light
+    # material albedo) or -1; ties NEE emission to the same differentiable
+    # parameter as BSDF-side light hits (see diff.py)
+    light_tex: tuple = ()
 
 
-# n_vol / chunk_plan / num_lights are static aux data (they shape the jitted
-# program); everything else is traced leaves.
+# n_vol / chunk_plan / num_lights / light_tex are static aux data (they shape
+# the jitted program); everything else is traced leaves.
 def _scene_flatten(s: Scene):
     return (
         (s.prims, s.materials, s.textures, s.lights, s.camera, s.sky_light),
-        (s.n_vol, s.chunk_plan, s.num_lights),
+        (s.n_vol, s.chunk_plan, s.num_lights, s.light_tex),
     )
 
 
 def _scene_unflatten(aux, leaves):
-    return Scene(*leaves, n_vol=aux[0], chunk_plan=aux[1], num_lights=aux[2])
+    return Scene(*leaves, n_vol=aux[0], chunk_plan=aux[1], num_lights=aux[2],
+                 light_tex=aux[3])
 
 
 jax.tree_util.register_pytree_node(Scene, _scene_flatten, _scene_unflatten)

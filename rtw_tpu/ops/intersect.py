@@ -196,7 +196,13 @@ def volume_box_t(params, o, d, tmin, tmax, u):
 # ---------------------------------------------------------------------------
 
 def _sphere_uv(n):
-    """Spherical uv from unit normal (sphere.cu:24-32)."""
+    """Spherical uv from unit normal (sphere.cu:24-32).
+
+    Detached from AD: arctan2/arcsin have pole singularities whose backward
+    inf/NaN would poison whole-wavefront gradients.  Texture-*coordinate*
+    gradients are out of the differentiability scope (diff.py docstring);
+    hit-point-driven texture gradients (noise) still flow via `p`."""
+    n = jax.lax.stop_gradient(n)
     phi = jnp.arctan2(n[..., 2], n[..., 0])
     theta = jnp.arcsin(jnp.clip(n[..., 1], -1.0, 1.0))
     u = 1.0 - (phi + np.pi) / (2.0 * np.pi)

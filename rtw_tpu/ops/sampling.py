@@ -31,8 +31,10 @@ def length(a):
     return jnp.sqrt(jnp.maximum(dot(a, a), 0.0))
 
 
-def safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+def safe_sqrt(x, eps=1e-20):
+    # clamped at eps (not 0) so reverse-mode never sees sqrt'(0)=inf; for
+    # x < eps the maximum's zero-gradient kills the chain entirely.
+    return jnp.sqrt(jnp.maximum(x, eps))
 
 
 def normalize(a, eps=1e-20):

@@ -1,0 +1,182 @@
+"""Device mesh + sharded rendering.
+
+This subsystem has **no counterpart in the reference** (single GPU, one
+CUstream — Director.cpp:113); it is the distributed backend the north star
+requires (SURVEY §2.4 ledger, §5 "Distributed communication backend").
+
+Design (the renderer's instantiation of the mesh/sharding recipe):
+
+- 1-D mesh over a `data` axis.  Two sharding strategies:
+  * **pixel sharding** (the renderer's DP): each device owns a contiguous
+    slab of pixels and traces its wavefronts end-to-end.  Scene/BVH arrays
+    are replicated; zero cross-device traffic during the bounce loop; the
+    only collective is the implicit all-gather of the final image.
+  * **sample sharding** (the renderer's context/batch-split parallelism):
+    every device renders the full pixel grid at spp/N samples and the
+    accumulators are `psum`-reduced over ICI at the end.  Useful when the
+    image is small but spp is large.
+- RNG is keyed by logical (pixel, sample) only (utils/rng.py), so both
+  strategies produce *bit-identical* images to the single-device render —
+  asserted in tests/test_parallel.py on an 8-device CPU mesh.
+- Gradient renders shard pixels and `psum` parameter gradients; XLA overlaps
+  the reduction with the backward sweep (latency-hiding scheduler).
+- TP/PP/EP/sequence-parallel have no analog in a path tracer: there is no
+  inter-ray dependence to partition.  Documented out of scope (SURVEY §2.4).
+
+Multi-host: `init_distributed()` wraps `jax.distributed.initialize`; each
+host builds the same scene (replicated) and `render_sharded` runs under a
+global mesh spanning all hosts' devices.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+from rtw_tpu.integrator import trace_paths_counted
+from rtw_tpu.utils import rng as R
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host bootstrap over DCN (jax.distributed).  No-op if
+    single-process."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D `data` mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def _pad_to(n: int, m: int) -> int:
+    return math.ceil(n / m) * m
+
+
+def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels"):
+    """Sharded render; returns the full linear [ny, nx, 3] image (replicated).
+
+    mode="pixels": pixel slabs per device.  mode="samples": full image per
+    device at spp/N samples each, psum-reduced.
+    """
+    if key is None:
+        key = R.base_key(cfg.seed)
+    ndev = mesh.devices.size
+    npix = cfg.num_pixels
+
+    if mode == "pixels":
+        padded = _pad_to(npix, ndev)
+        pixel_idx = np.arange(padded, dtype=np.int32)
+        pixel_idx[npix:] = 0
+        pixel_idx = jnp.asarray(pixel_idx)
+
+        @jax.jit
+        def run(pix):
+            def local(pix_local):
+                def body(i, acc):
+                    rad, _ = trace_paths_counted(scene, cfg, pix_local, i, key)
+                    return acc + rad
+                acc = lax.fori_loop(
+                    0, cfg.spp, body,
+                    jnp.zeros((pix_local.shape[0], 3), jnp.float32))
+                return acc
+
+            return jax.shard_map(
+                local, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                check_vma=False,
+            )(pix)
+
+        pix_sharded = jax.device_put(
+            pixel_idx, NamedSharding(mesh, P("data")))
+        acc = run(pix_sharded)
+        img = np.asarray(acc)[:npix] / np.float32(cfg.spp)
+        return img.reshape(cfg.ny, cfg.nx, 3)
+
+    if mode == "samples":
+        if cfg.spp % ndev != 0:
+            raise ValueError(f"spp={cfg.spp} not divisible by {ndev} devices")
+        local_spp = cfg.spp // ndev
+        pixel_idx = jnp.arange(npix, dtype=jnp.int32)
+
+        @jax.jit
+        def run():
+            def local():
+                dev = lax.axis_index("data")
+
+                def body(i, acc):
+                    s = dev * local_spp + i  # global sample index
+                    rad, _ = trace_paths_counted(scene, cfg, pixel_idx, s, key)
+                    return acc + rad
+
+                acc = lax.fori_loop(0, local_spp, body,
+                                    jnp.zeros((npix, 3), jnp.float32))
+                return lax.psum(acc, "data")
+
+            return jax.shard_map(local, mesh=mesh, in_specs=(),
+                                 out_specs=P(), check_vma=False)()
+
+        acc = run()
+        img = np.asarray(acc) / np.float32(cfg.spp)
+        return img.reshape(cfg.ny, cfg.nx, 3)
+
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def grad_sharded(scene, cfg, mesh: Mesh, params, target, key, n_samples: int):
+    """Data-sharded differentiable render: pixels split across the mesh,
+    per-device backward sweeps, parameter gradients psum-reduced over ICI.
+
+    Returns (loss, grads) replicated on every device."""
+    from rtw_tpu.diff import apply_params  # local import to avoid cycle
+
+    ndev = mesh.devices.size
+    npix = cfg.num_pixels
+    if npix % ndev != 0:
+        raise ValueError(f"pixel count {npix} not divisible by {ndev} devices")
+    pixel_idx = jnp.arange(npix, dtype=jnp.int32)
+    tgt = jnp.asarray(np.asarray(target).reshape(-1, 3))
+
+    @jax.jit
+    def run(params, pix, tgt):
+        def local(params, pix_local, tgt_local):
+            def loss_fn(p):
+                sc = apply_params(scene, p)
+
+                def body(i, acc):
+                    rad, _ = trace_paths_counted(sc, cfg, pix_local, i, key)
+                    return acc + rad
+
+                acc = lax.fori_loop(
+                    0, n_samples, body,
+                    jnp.zeros((pix_local.shape[0], 3), jnp.float32))
+                img = acc / np.float32(n_samples)
+                # mean over *global* pixel count so the psum'd grad matches
+                # the single-device estimator
+                return jnp.sum((img - tgt_local) ** 2) / np.float32(npix * 3)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss = lax.psum(loss, "data")
+            grads = lax.psum(grads, "data")
+            return loss, grads
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(params, pix, tgt)
+
+    return run(params, pixel_idx, tgt)

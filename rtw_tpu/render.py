@@ -20,23 +20,33 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from rtw_tpu.integrator import trace_paths
+from rtw_tpu.integrator import trace_paths_counted
 from rtw_tpu.utils import rng as R
 
 
 @functools.partial(jax.jit, static_argnums=(1, 4), donate_argnums=(5,))
 def _render_tile(scene, cfg, pixel_idx, key, n_samples, accum, s0):
-    """Accumulate `n_samples` samples (starting at index s0) for one tile."""
+    """Accumulate `n_samples` samples (starting at index s0) for one tile.
+    accum = (radiance_sum [N,3], ray_count scalar)."""
     def body(i, acc):
-        return acc + trace_paths(scene, cfg, pixel_idx, s0 + i, key)
+        rad, rays = trace_paths_counted(scene, cfg, pixel_idx, s0 + i, key)
+        return acc[0] + rad, acc[1] + rays
 
     return lax.fori_loop(0, n_samples, body, accum)
 
 
-def render(scene, cfg, key=None, verbose: bool = False, metrics: dict | None = None):
+def render(scene, cfg, key=None, verbose: bool = False,
+           metrics: dict | None = None, checkpoint_path: str | None = None,
+           checkpoint_every: int = 0):
     """Render and return the *linear* [ny, nx, 3] float32 image (row 0 at the
     bottom, i.e. t=0 — the reference's frame-buffer convention,
-    raygen.cu:156-158)."""
+    raygen.cu:156-158).
+
+    With `checkpoint_path` set, the accumulator is persisted every
+    `checkpoint_every` samples (default: every spp chunk) and a matching
+    checkpoint is resumed from, continuing the deterministic sample stream
+    (utils/checkpoint.py) — the render is bit-identical to an uninterrupted
+    one."""
     if key is None:
         key = R.base_key(cfg.seed)
 
@@ -49,36 +59,59 @@ def render(scene, cfg, key=None, verbose: bool = False, metrics: dict | None = N
     if pad:
         pixel_idx = pixel_idx.at[npix:].set(0)  # padded lanes recompute pixel 0
 
-    t_start = _time.perf_counter()
-    tiles_out = []
-    for ti in range(n_tiles):
-        tile_pix = lax.dynamic_slice_in_dim(pixel_idx, ti * batch, batch)
-        accum = jnp.zeros((batch, 3), jnp.float32)
-        s0 = 0
-        while s0 < cfg.spp:
-            ns = min(chunk, cfg.spp - s0)
-            accum = _render_tile(scene, cfg, tile_pix, key, ns,
-                                 accum, jnp.asarray(s0, jnp.int32))
-            s0 += ns
-        tiles_out.append(accum)
-        if verbose:
-            jax.block_until_ready(accum)
-            done = min((ti + 1) * batch, npix)
-            print(f"INFO: tile {ti + 1}/{n_tiles} done "
-                  f"({done}/{npix} pixels, {cfg.spp} spp)", flush=True)
+    accums = [(jnp.zeros((batch, 3), jnp.float32),
+               jnp.zeros((), jnp.float32)) for _ in range(n_tiles)]
+    spp_done = 0
+    if checkpoint_path is not None:
+        from rtw_tpu.utils import checkpoint as ckpt
 
-    img = jnp.concatenate(tiles_out, axis=0)[:npix] / np.float32(cfg.spp)
+        state = ckpt.load(checkpoint_path, cfg)
+        if state is not None:
+            acc_np, rays0, spp_done = state
+            per = np.zeros((n_tiles * batch, 3), np.float32)
+            per[: acc_np.shape[0]] = acc_np
+            accums = [(jnp.asarray(per[i * batch:(i + 1) * batch]),
+                       jnp.zeros((), jnp.float32)) for i in range(n_tiles)]
+            accums[0] = (accums[0][0], jnp.asarray(rays0, jnp.float32))
+            if verbose:
+                print(f"INFO: resumed at {spp_done}/{cfg.spp} spp", flush=True)
+
+    t_start = _time.perf_counter()
+    s0 = spp_done
+    while s0 < cfg.spp:
+        ns = min(chunk, cfg.spp - s0)
+        for ti in range(n_tiles):
+            tile_pix = lax.dynamic_slice_in_dim(pixel_idx, ti * batch, batch)
+            accums[ti] = _render_tile(scene, cfg, tile_pix, key, ns,
+                                      accums[ti], jnp.asarray(s0, jnp.int32))
+        s0 += ns
+        if verbose:
+            jax.block_until_ready(accums[-1][0])
+            print(f"INFO: {s0}/{cfg.spp} spp done", flush=True)
+        if checkpoint_path is not None and (
+                s0 >= cfg.spp or checkpoint_every <= 0
+                or (s0 - spp_done) % max(checkpoint_every, 1) == 0):
+            from rtw_tpu.utils import checkpoint as ckpt
+
+            acc_np = np.concatenate([np.asarray(a[0]) for a in accums])[:npix]
+            rays_np = float(sum(float(a[1]) for a in accums))
+            ckpt.save(checkpoint_path, cfg, acc_np, rays_np, s0)
+
+    img = jnp.concatenate([a[0] for a in accums], axis=0)[:npix] / np.float32(cfg.spp)
     img = jax.block_until_ready(img)
+    total_rays = sum(float(a[1]) for a in accums)
     elapsed = _time.perf_counter() - t_start
 
     if metrics is not None:
-        n_paths = npix * cfg.spp
+        n_paths = npix * (cfg.spp - spp_done)
         metrics.update(
             wall_seconds=elapsed,
             pixels=npix,
             spp=cfg.spp,
             paths=n_paths,
-            samples_per_sec=n_paths / elapsed,
+            rays=total_rays,
+            samples_per_sec=n_paths / max(elapsed, 1e-9),
+            mrays_per_sec=total_rays / max(elapsed, 1e-9) / 1e6,
         )
 
     return img.reshape(cfg.ny, cfg.nx, 3)

@@ -1,0 +1,136 @@
+"""Property tests of the estimator (SURVEY §4 tier 2): furnace tests,
+energy conservation, sky miss shading, emission one-sidedness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import rtw_tpu as rt
+from rtw_tpu.models import scene as S
+from rtw_tpu.models.builder import SceneBuilder
+from rtw_tpu.integrator import trace_paths
+from rtw_tpu.utils import rng as R
+
+
+def _render_mean(scene, cfg, n_pix=None):
+    img = np.asarray(rt.render(scene, cfg))
+    return img
+
+
+def test_furnace_lambertian():
+    """Constant-albedo lambertian sphere under the uniform-ish sky: a camera
+    ray hitting the sphere head-on converges to roughly albedo * sky.  Use a
+    WHITE sky by making albedo comparisons relative: with albedo=1 the
+    render must converge to the sky radiance (energy conservation: no gain,
+    no loss at the surface)."""
+    b = SceneBuilder()
+    white = b.lambertian(b.constant_texture((1.0, 1.0, 1.0)))
+    b.sphere((0.0, 0.0, -3.0), 1.0, white)
+    b.set_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 40, 1.0, 0.0, 1.0)
+    scene = b.build()
+    cfg = rt.RenderConfig(nx=24, ny=24, spp=512, max_depth=32, seed=1)
+    img = _render_mean(scene, cfg)
+    # center pixels hit the sphere; the books' sky has mean radiance ~0.75
+    # hemispherically but varies by direction — so instead compare against
+    # an albedo-0.5 render: white furnace ratio should be ~1/(1-0.5*k)...
+    # Simpler exact property: with albedo 1 and deep depth, sphere pixels
+    # must be bounded by the sky's [min,max] = [0.5*(1,1,1)+..], i.e. within
+    # [0.6, 1.05], and not lose energy to below the darkest sky value * 0.9.
+    center = img[10:14, 10:14]
+    assert center.min() > 0.55
+    assert center.max() < 1.05
+
+
+def test_sky_gradient_miss():
+    """Rays that miss get the white->blue gradient (miss/miss.cu:8-21)."""
+    b = SceneBuilder()
+    m = b.lambertian(b.constant_texture((0.5, 0.5, 0.5)))
+    b.sphere((0.0, -10050.0, 0.0), 10000.0, m)  # far below, out of view
+    b.set_camera((0, 0, 0), (0, 1, 0), (0, 0, -1), 60, 1.0, 0.0, 1.0)
+    scene = b.build()
+    cfg = rt.RenderConfig(nx=16, ny=16, spp=8, max_depth=3)
+    img = _render_mean(scene, cfg)
+    # looking straight up: t = 0.5*(1+1) = 1 -> (0.5, 0.7, 1.0)
+    center = img[8, 8]
+    np.testing.assert_allclose(center, [0.5, 0.7, 1.0], atol=0.08)
+
+
+def test_black_sky_when_lights_exist():
+    b = SceneBuilder()
+    lt = b.constant_texture((5.0, 5.0, 5.0))
+    b.rect(-1, 1, -1, 1, -50.0, False, S.AXIS_Z, b.diffuse_light(lt))
+    b.add_light((-1, -1, -50.0), (2, 0, 0), (0, 2, 0), (5.0, 5.0, 5.0), tex=lt)
+    b.set_camera((0, 0, 0), (0, 1, 0), (0, 0, -1), 60, 1.0, 0.0, 1.0)
+    scene = b.build()
+    assert float(scene.sky_light) == 0.0
+    cfg = rt.RenderConfig(nx=8, ny=8, spp=4, max_depth=3)
+    img = _render_mean(scene, cfg)
+    np.testing.assert_allclose(img, 0.0, atol=1e-6)  # nothing to see
+
+
+def test_emission_one_sided():
+    """Diffuse light emits only when hit from the front
+    (diffuseLight.cu:48-63: dot(normal, ray_dir) < 0)."""
+    b = SceneBuilder()
+    lt = b.constant_texture((5.0, 5.0, 5.0))
+    mat = b.diffuse_light(lt)
+    b.rect(-10, 10, -10, 10, -3.0, False, S.AXIS_Z, mat)  # normal +z
+    b.add_light((-10, -10, -3.0), (20, 0, 0), (0, 20, 0), (5.0, 5.0, 5.0),
+                tex=lt)
+    b.set_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 60, 1.0, 0.0, 1.0)
+    front = b.build()
+    cfg = rt.RenderConfig(nx=8, ny=8, spp=4, max_depth=3)
+    img_front = _render_mean(front, cfg)
+    np.testing.assert_allclose(img_front, 5.0, atol=1e-4)
+
+    b2 = SceneBuilder()
+    lt2 = b2.constant_texture((5.0, 5.0, 5.0))
+    mat2 = b2.diffuse_light(lt2)
+    b2.rect(-10, 10, -10, 10, -3.0, True, S.AXIS_Z, mat2)  # flipped: -z
+    b2.add_light((-10, -10, -3.0), (20, 0, 0), (0, 20, 0), (5.0, 5.0, 5.0),
+                 tex=lt2)
+    b2.set_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 60, 1.0, 0.0, 1.0)
+    back = b2.build()
+    img_back = _render_mean(back, cfg)
+    np.testing.assert_allclose(img_back, 0.0, atol=1e-6)
+
+
+def test_metal_mirror_reflection():
+    """fuzz=0 metal floor reflects the sky: looking down at a mirror at
+    grazing-free normal incidence shows the up-sky color * albedo."""
+    b = SceneBuilder()
+    mirror = b.metal(b.constant_texture((1.0, 1.0, 1.0)), 0.0)
+    b.rect(-100, 100, -100, 100, -2.0, False, S.AXIS_Y, mirror)  # floor below
+    b.set_camera((0, 0, 0), (0, -1, 0), (1, 0, 0), 60, 1.0, 0.0, 1.0)
+    scene = b.build()
+    cfg = rt.RenderConfig(nx=8, ny=8, spp=16, max_depth=4)
+    img = _render_mean(scene, cfg)
+    # straight down -> reflect straight up -> sky (0.5, 0.7, 1.0)
+    np.testing.assert_allclose(img[4, 4], [0.5, 0.7, 1.0], atol=0.05)
+
+
+def test_rr_energy_unbiased():
+    """Russian roulette must not change the expected value: render the same
+    diffuse-bounce scene with RR starting early vs late; means must agree
+    within MC error."""
+    b = SceneBuilder()
+    grey = b.lambertian(b.constant_texture((0.6, 0.6, 0.6)))
+    b.sphere((0.0, 0.0, -3.0), 1.0, grey)
+    b.set_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 30, 1.0, 0.0, 1.0)
+    scene = b.build()
+    early = rt.RenderConfig(nx=16, ny=16, spp=600, max_depth=24,
+                            rr_start_depth=2, seed=3)
+    late = rt.RenderConfig(nx=16, ny=16, spp=600, max_depth=24,
+                           rr_start_depth=20, seed=4)
+    img_e = _render_mean(scene, early).mean()
+    img_l = _render_mean(scene, late).mean()
+    assert abs(img_e - img_l) / img_l < 0.02
+
+
+def test_nan_free_all_scenes():
+    for sid in (0, 1, 2, 3, 4, 5):
+        cfg = rt.RenderConfig(nx=20, ny=12, spp=2, max_depth=5, scene_id=sid)
+        scene = rt.build_scene(sid, cfg.nx, cfg.ny)
+        img = np.asarray(rt.render(scene, cfg))
+        assert np.isfinite(img).all(), f"scene {sid} produced non-finite"

@@ -1,0 +1,73 @@
+"""Sharding tests on the 8-virtual-device CPU mesh (SURVEY §4 tier 5).
+
+The key property: because RNG is keyed by logical (pixel, sample) indices,
+the rendered image must be *bit-identical* across mesh shapes and sharding
+strategies — sharding must never change the estimator.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import rtw_tpu as rt
+from rtw_tpu.parallel.mesh import make_mesh, render_sharded, grad_sharded
+from rtw_tpu.utils import rng as R
+from rtw_tpu.diff import extract_params
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    cfg = rt.RenderConfig(nx=40, ny=16, spp=8, max_depth=4, scene_id=5)
+    scene = rt.build_scene(5, cfg.nx, cfg.ny)
+    return scene, cfg
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_pixel_sharding_bit_identical(small_setup):
+    scene, cfg = small_setup
+    ref = np.asarray(rt.render(scene, cfg))
+    mesh8 = make_mesh(jax.devices()[:8])
+    img8 = render_sharded(scene, cfg, mesh8, mode="pixels")
+    np.testing.assert_array_equal(img8, ref)
+
+
+def test_mesh_shape_invariance(small_setup):
+    scene, cfg = small_setup
+    mesh2 = make_mesh(jax.devices()[:2])
+    mesh8 = make_mesh(jax.devices()[:8])
+    img2 = render_sharded(scene, cfg, mesh2, mode="pixels")
+    img8 = render_sharded(scene, cfg, mesh8, mode="pixels")
+    np.testing.assert_array_equal(img2, img8)
+
+
+def test_sample_sharding_matches(small_setup):
+    scene, cfg = small_setup
+    ref = np.asarray(rt.render(scene, cfg))
+    mesh = make_mesh(jax.devices()[:8])
+    img = render_sharded(scene, cfg, mesh, mode="samples")
+    # same estimator, different accumulation order -> fp-tolerance equality
+    np.testing.assert_allclose(img, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_grad_sharded_matches_single_device(small_setup):
+    scene, _ = small_setup
+    cfg = rt.RenderConfig(nx=40, ny=16, spp=2, max_depth=3, scene_id=5,
+                          differentiable=True)
+    key = R.base_key(0)
+    params = extract_params(scene)
+    target = np.zeros((cfg.ny, cfg.nx, 3), np.float32)
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    mesh8 = make_mesh(jax.devices()[:8])
+    l1, g1 = grad_sharded(scene, cfg, mesh1, params, target, key, n_samples=2)
+    l8, g8 = grad_sharded(scene, cfg, mesh8, params, target, key, n_samples=2)
+    assert np.isfinite(float(l1))
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4)

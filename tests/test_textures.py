@@ -1,0 +1,112 @@
+"""Texture evaluation tests (texture/*.cu parity; SURVEY §4 tier 1)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rtw_tpu.models import scene as S
+from rtw_tpu.models.builder import SceneBuilder
+from rtw_tpu.ops.textures import eval_texture, perlin_noise, turbulence
+
+
+def _scene_with_textures():
+    b = SceneBuilder()
+    red = b.constant_texture((1.0, 0.0, 0.0))
+    blue = b.constant_texture((0.0, 0.0, 1.0))
+    checker = b.checker_texture(red, blue)
+    noise = b.noise_texture(4.0)
+    null = b.null_texture()
+    m = b.lambertian(red)
+    b.sphere((0, 0, 0), 1.0, m)
+    b.set_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 60, 1.0, 0.0, 1.0)
+    return b.build(), dict(red=red, blue=blue, checker=checker, noise=noise,
+                           null=null)
+
+
+def _eval(scene, tid, p, u=0.0, v=0.0):
+    n = p.shape[0]
+    return np.asarray(eval_texture(
+        scene.textures,
+        jnp.full((n,), tid, jnp.int32),
+        jnp.full((n,), u, jnp.float32),
+        jnp.full((n,), v, jnp.float32),
+        jnp.asarray(p, jnp.float32)))
+
+
+def test_constant_and_null():
+    scene, t = _scene_with_textures()
+    p = np.zeros((4, 3), np.float32)
+    np.testing.assert_allclose(_eval(scene, t["red"], p), [[1, 0, 0]] * 4)
+    np.testing.assert_allclose(_eval(scene, t["null"], p), 0.0)
+
+
+def test_checker_alternation():
+    scene, t = _scene_with_textures()
+    # sines = sin(10x)sin(10y)sin(10z); at (pi/20)*(1,1,1) all sines = 1 > 0
+    # -> even (blue); flip x sign -> odd (red)
+    a = np.pi / 20.0
+    p = np.array([[a, a, a], [-a, a, a]], np.float32)
+    out = _eval(scene, t["checker"], p)
+    np.testing.assert_allclose(out[0], [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(out[1], [1, 0, 0], atol=1e-6)
+
+
+def test_perlin_range_and_smoothness():
+    scene, t = _scene_with_textures()
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.uniform(-10, 10, (2000, 3)).astype(np.float32))
+    n = np.asarray(perlin_noise(scene.textures, p))
+    assert np.abs(n).max() <= 1.0 + 1e-5
+    assert n.std() > 0.05  # non-degenerate
+    # lattice-point values: gradient noise is 0 at integer lattice points
+    pi = jnp.asarray(rng.integers(-5, 5, (64, 3)).astype(np.float32))
+    ni = np.asarray(perlin_noise(scene.textures, pi))
+    np.testing.assert_allclose(ni, 0.0, atol=1e-5)
+
+
+def test_turbulence_positive():
+    scene, t = _scene_with_textures()
+    rng = np.random.default_rng(1)
+    p = jnp.asarray(rng.uniform(-10, 10, (512, 3)).astype(np.float32))
+    tb = np.asarray(turbulence(scene.textures, p))
+    assert (tb >= 0).all()
+    assert tb.max() < 2.0
+
+
+def test_marble_range():
+    scene, t = _scene_with_textures()
+    rng = np.random.default_rng(2)
+    p = rng.uniform(-3, 3, (512, 3)).astype(np.float32)
+    out = _eval(scene, t["noise"], p)
+    assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-5
+    assert np.allclose(out[:, 0], out[:, 1])  # greyscale
+
+
+def test_image_texture_bilinear():
+    from rtw_tpu.models.registry import EARTHMAP
+    b = SceneBuilder()
+    earth = b.image_texture(EARTHMAP)
+    m = b.lambertian(earth)
+    b.sphere((0, 0, 0), 1.0, m)
+    b.set_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 60, 1.0, 0.0, 1.0)
+    scene = b.build()
+    # sample a horizontal scanline across the equator: finite, in [0,1],
+    # and varying (oceans vs continents)
+    n = 64
+    u = jnp.linspace(0.0, 1.0, n)
+    out = np.asarray(eval_texture(
+        scene.textures, jnp.full((n,), earth, jnp.int32), u,
+        jnp.full((n,), 0.5, jnp.float32), jnp.zeros((n, 3), jnp.float32)))
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert out.std() > 0.05
+    # the equatorial line of earthmap.jpg is mostly ocean at u=0.45 (Pacific
+    # on the left half given the map wraps at the antimeridian)
+    assert out[:, 2].mean() > out[:, 0].mean() * 0.8  # bluish overall
+
+
+def test_checker_nesting_rejected():
+    b = SceneBuilder()
+    c1 = b.checker_texture(b.constant_texture((1, 1, 1)),
+                           b.constant_texture((0, 0, 0)))
+    with pytest.raises(ValueError):
+        b.checker_texture(c1, b.constant_texture((0, 0, 0)))
