@@ -101,17 +101,20 @@ def generate_camera_rays(scene: S.Scene, cfg, pixel_idx, path_keys) -> PathState
     )
 
 
-def _light_pdf_at(scene: S.Scene, origin, point, direction_unit):
+def _light_pdf_at(scene: S.Scene, origin, point, direction_unit, mask):
     """Solid-angle pdf of NEE having sampled the direction that hit a light at
     `point` (uniform light selection x uniform area), used for MIS weighting
-    of BSDF-sampled light hits.  Exact for 1 light (all reference scenes)."""
+    of BSDF-sampled light hits.  Exact for 1 light (all reference scenes).
+    `mask`: lanes whose value is consumed — others get neutral inputs so
+    reverse-mode can't overflow (double-where pattern)."""
     lights = scene.lights
     # nearest light row by emission-surface proximity: scenes have <= 1 light,
     # so row 0 is exact; with L>1 this is the standard per-hit-light pdf / L.
     d = point - origin
-    dist2 = sm.dot(d, d)
+    dist2 = jnp.where(mask, sm.dot(d, d), 1.0)
     cos_t = jnp.abs(sm.dot(direction_unit, lights.normal[0][None, :]))
-    pdf = dist2 / jnp.maximum(lights.area[0] * cos_t, 1e-12)
+    cos_t = jnp.where(mask & (cos_t > 1e-6), cos_t, 1.0)
+    pdf = dist2 / (lights.area[0] * cos_t)
     return pdf / np.float32(max(scene.num_lights, 1))
 
 
@@ -195,9 +198,10 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     facing = sm.dot(nrm, d_unit) < 0.0
     emitted = sm.where3(facing, albedo, jnp.zeros_like(albedo))
     if cfg.mis_bsdf_weight and scene.num_lights > 0:
-        lp = _light_pdf_at(scene, o, hit.point, d_unit)
-        w_bsdf = jnp.where(state.prev_diffuse,
-                           sm.power_heuristic(state.prev_pdf, lp), 1.0)
+        w_mask = hit_alive & is_light & state.prev_diffuse
+        lp = _light_pdf_at(scene, o, hit.point, d_unit, w_mask)
+        prev_safe = jnp.where(w_mask, state.prev_pdf, 1.0)
+        w_bsdf = jnp.where(w_mask, sm.power_heuristic(prev_safe, lp), 1.0)
     else:
         w_bsdf = jnp.ones_like(hit.t)
     light_contrib = state.throughput * emitted * w_bsdf[:, None]
@@ -233,9 +237,13 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
         ldist = sm.length(ldir)
         ldir_u = ldir / jnp.maximum(ldist, 1e-12)[:, None]
         costa = sm.dot(-ldir_u, lights.normal[li])
-        l_pdf = jnp.where((ldist > 1e-6) & (costa > 1e-6),
-                          ldist * ldist / jnp.maximum(lights.area[li] * costa, 1e-12),
-                          0.0)
+        l_valid = (ldist > 1e-6) & (costa > 1e-6)
+        # "double-where": neutralize inputs on invalid lanes BEFORE the
+        # divisions so their (masked-out) cotangents can't overflow to
+        # inf/NaN and poison reverse-mode (standard jnp.where-grad trap)
+        costa_safe = jnp.where(l_valid, costa, 1.0)
+        l_pdf = jnp.where(
+            l_valid, ldist * ldist / (lights.area[li] * costa_safe), 0.0)
         l_emission = lights.emission[li] * np.float32(L)
 
         # diffuse BSDF toward the light (lambertianMaterial.cu:74-81)
@@ -243,20 +251,30 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
         bsdf_pdf = jnp.maximum(sm.dot(ldir_u, nrm), 0.0) * sm.INV_PI
 
         nee_active = (hit_alive & is_lamb & ~cancel
-                      & (l_pdf > 0.0) & (bsdf_pdf > 0.0))
+                      & l_valid & (bsdf_pdf > 0.0))
         ray_count = ray_count + jnp.sum(nee_active.astype(jnp.float32))
-        shadowed = occluded(scene, hit.point, ldir_u, cfg.shadow_eps,
-                            ldist - cfg.shadow_eps, state.time, occ_u)
-        w_nee = sm.power_heuristic(l_pdf, bsdf_pdf)
+        shadow_org = sm.offset_point(hit.point, nrm, ldir_u)
+        # relative end margin: the absolute 5e-5 of the reference
+        # (closehit.cu:100) is smaller than fp32 error at scene scale and
+        # than the acne offset above, making the light occlude itself
+        shadowed = occluded(scene, shadow_org, ldir_u, cfg.shadow_eps,
+                            ldist * np.float32(0.999), state.time, occ_u)
+        l_pdf_safe = jnp.where(nee_active, l_pdf, 1.0)
+        bsdf_safe = jnp.where(nee_active, bsdf_pdf, 1.0)
+        w_nee = sm.power_heuristic(l_pdf_safe, bsdf_safe)
         nee = (f * l_emission
-               * (w_nee * sm.dot(ldir_u, nrm) / jnp.maximum(l_pdf, 1e-12))[:, None])
+               * (w_nee * sm.dot(ldir_u, nrm) / l_pdf_safe)[:, None])
         radiance = radiance + sm.where3(nee_active & ~shadowed,
                                         state.throughput * nee,
                                         jnp.zeros_like(radiance))
 
     # ----- advance --------------------------------------------------------
     new_alive = hit_alive & ~terminate
-    origin = sm.where3(hit_alive, hit.point, o)
+    # volume (isotropic) scatter points must NOT be offset along the fake
+    # +X normal: they continue from inside the medium
+    next_org = sm.where3(is_iso, hit.point,
+                         sm.offset_point(hit.point, nrm, scatter_dir))
+    origin = sm.where3(hit_alive, next_org, o)
     direction = sm.where3(new_alive, scatter_dir, d)
     throughput = sm.where3(new_alive, state.throughput * attenuation,
                            state.throughput)

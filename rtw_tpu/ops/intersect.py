@@ -348,6 +348,10 @@ def intersect_scene(scene, o, d, tmin, tmax, time, vol_u) -> Hit:
     prims = scene.prims
     hit_mask = best_prim >= 0
     safe_prim = jnp.maximum(best_prim, 0)
+    # payload t clamped to 0 on miss lanes: a BIG t would produce ~1e30 hit
+    # points whose squared distances overflow to inf downstream — masked in
+    # the primal but 0*inf = NaN in reverse-mode
+    t_pay = jnp.where(hit_mask, best_t, 0.0)
 
     # pass 2: payload for the global winner — one statically-typed payload
     # computation per group, selected by which group owns the winning prim.
@@ -366,7 +370,7 @@ def intersect_scene(scene, o, d, tmin, tmax, time, vol_u) -> Hit:
         else:
             o_sel, d_sel = o, d
         g_point, g_normal, g_uv = _payload(ptype, axis, p_params, o_sel,
-                                           d_sel, best_t, time)
+                                           d_sel, t_pay, time)
         if has_xform:
             g_point = _xform_point(o2w, g_point)
             # normal transforms with (W2O)^T

@@ -28,7 +28,9 @@ def dot(a, b):
 
 
 def length(a):
-    return jnp.sqrt(jnp.maximum(dot(a, a), 0.0))
+    # clamped away from 0 so reverse-mode through |a| at a=0 (e.g. the
+    # zeroed normals of miss lanes) stays finite
+    return jnp.sqrt(jnp.maximum(dot(a, a), 1e-30))
 
 
 def safe_sqrt(x, eps=1e-20):
@@ -121,3 +123,17 @@ def fresnel_schlick(cos_theta_i, eta_i, eta_t):
 def where3(mask, a, b):
     """Select [N,3] rows by a [N] mask."""
     return jnp.where(mask[..., None], a, b)
+
+
+def offset_point(point, normal, out_dir, eps=1e-4):
+    """Scale-aware self-intersection offset: nudge a hit point along the
+    geometric normal toward the side the outgoing ray leaves on.
+
+    The reference relies on tiny absolute epsilons (tmin=1e-6 raygen.cu:46,
+    shadow 5e-5 closehit.cu:100) which are smaller than fp32 hit-point error
+    on large geometry (a radius-1000 sphere carries ~1e-4 absolute error) —
+    producing shadow acne that its denoiser hides.  We offset by
+    eps * max(1, |p|) instead, the standard robust construction."""
+    scale = eps * jnp.maximum(1.0, jnp.max(jnp.abs(point), axis=-1))
+    side = jnp.sign(dot(normal, out_dir))
+    return point + (scale * side)[..., None] * normal
