@@ -16,9 +16,10 @@ import time
 
 import numpy as np
 
-# First recorded figure on one v5e chip (round 1). Update only the
-# *_BASELINE constants when re-baselining.
-MRAYS_BASELINE = None  # set after first recorded run
+# First recorded figure on one TPU chip (round 1, pre-optimization:
+# AoS [N,3] layout + 2-D table gathers). Update only the *_BASELINE
+# constants when re-baselining.
+MRAYS_BASELINE = 0.28
 
 BENCH_NX = 800
 BENCH_NY = 800

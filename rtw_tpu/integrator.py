@@ -9,6 +9,11 @@ material's scatter is evaluated branch-free for every lane and per-lane
 traffic a gather/scatter compaction would add, and it keeps the whole bounce
 a single fused XLA computation.
 
+All per-ray state is SoA component planes ([N] arrays / Vec3 of them,
+ops/vec.py): the ray axis rides the 128-wide vector lanes.  The batched
+PerRayData AoS of the reference (lib/raydata.cuh:59-78) would waste 125/128
+lanes on TPU.
+
 Estimator (lambertian path):  cosine-hemisphere BSDF sampling + next-event
 estimation on the scene's parallelogram lights with power-heuristic MIS
 (closehit.cu:70-118, rectPdf.cu:124-193, raydata.cuh:167-171).  With
@@ -24,8 +29,7 @@ Russian roulette from depth >= 2 with p = max(throughput) (raygen.cu:74-82).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any
+from typing import Any, NamedTuple
 
 import numpy as np
 import jax
@@ -34,35 +38,25 @@ from jax import lax
 
 from rtw_tpu.models import scene as S
 from rtw_tpu.ops import sampling as sm
+from rtw_tpu.ops import vec as V
+from rtw_tpu.ops.vec import Vec3
 from rtw_tpu.ops.intersect import intersect_scene, occluded, BIG
 from rtw_tpu.ops.textures import eval_texture
 from rtw_tpu.utils import rng as R
 
-WHITE = np.array([1.0, 1.0, 1.0], np.float32)
-SKY_BLUE = np.array([0.5, 0.7, 1.0], np.float32)
 
-
-@dataclasses.dataclass
-class PathState:
+class PathState(NamedTuple):
     """SoA wavefront state — the batched PerRayData (lib/raydata.cuh:59-78)."""
 
-    origin: Any        # [N, 3]
-    direction: Any     # [N, 3] (unnormalized camera rays, like the reference)
-    throughput: Any    # [N, 3]
-    radiance: Any      # [N, 3]
+    origin: Vec3       # [N] planes
+    direction: Vec3    # [N] planes (unnormalized camera rays, like the ref)
+    throughput: Vec3   # [N] planes
+    radiance: Vec3     # [N] planes
     alive: Any         # [N] bool
     time: Any          # [N] shutter gather time
     prev_pdf: Any      # [N] bsdf pdf of previous diffuse bounce (MIS carry)
     prev_diffuse: Any  # [N] bool: previous bounce eligible for MIS light-hit
     ray_count: Any     # scalar f32: rays traced (bounce + NEE shadow rays)
-
-
-jax.tree_util.register_pytree_node(
-    PathState,
-    lambda s: ((s.origin, s.direction, s.throughput, s.radiance, s.alive,
-                s.time, s.prev_pdf, s.prev_diffuse, s.ray_count), None),
-    lambda _, l: PathState(*l),
-)
 
 
 def generate_camera_rays(scene: S.Scene, cfg, pixel_idx, path_keys) -> PathState:
@@ -72,27 +66,32 @@ def generate_camera_rays(scene: S.Scene, cfg, pixel_idx, path_keys) -> PathState
     quirk 2: the reference never uploads cameraLensRadius, silently disabling
     depth of field)."""
     cam = scene.camera
-    u = R.camera_uniforms(path_keys)          # [N, 5]
+    u = R.camera_uniforms(path_keys)          # [5, N]
     x = (pixel_idx % cfg.nx).astype(jnp.float32)
     y = (pixel_idx // cfg.nx).astype(jnp.float32)
-    s = (x + u[:, 0]) / np.float32(cfg.nx)
-    t = (y + u[:, 1]) / np.float32(cfg.ny)
+    s = (x + u[0]) / np.float32(cfg.nx)
+    t = (y + u[1]) / np.float32(cfg.ny)
 
-    rd = cam.lens_radius * sm.unit_disk(u[:, 2], u[:, 3])      # [N, 2]
-    offset = rd[:, 0:1] * cam.u[None, :] + rd[:, 1:2] * cam.v[None, :]
-    origin = cam.origin[None, :] + offset
-    direction = (cam.lower_left[None, :]
-                 + s[:, None] * cam.horizontal[None, :]
-                 + t[:, None] * cam.vertical[None, :]
-                 - origin)
-    time = cam.time0 + u[:, 4] * (cam.time1 - cam.time0)
+    cam_o = V.v3(cam.origin)
+    cam_u = V.v3(cam.u)
+    cam_v = V.v3(cam.v)
+    lower_left = V.v3(cam.lower_left)
+    horizontal = V.v3(cam.horizontal)
+    vertical = V.v3(cam.vertical)
+
+    rdx, rdy = sm.unit_disk(u[2], u[3])
+    rdx = cam.lens_radius * rdx
+    rdy = cam.lens_radius * rdy
+    origin = cam_o + cam_u * rdx + cam_v * rdy
+    direction = lower_left + horizontal * s + vertical * t - origin
+    time = cam.time0 + u[4] * (cam.time1 - cam.time0)
 
     n = pixel_idx.shape[0]
     return PathState(
         origin=origin,
         direction=direction,
-        throughput=jnp.ones((n, 3), jnp.float32),
-        radiance=jnp.zeros((n, 3), jnp.float32),
+        throughput=V.ones(n),
+        radiance=V.zeros(n),
         alive=jnp.ones((n,), bool),
         time=time,
         prev_pdf=jnp.ones((n,), jnp.float32),
@@ -101,7 +100,8 @@ def generate_camera_rays(scene: S.Scene, cfg, pixel_idx, path_keys) -> PathState
     )
 
 
-def _light_pdf_at(scene: S.Scene, origin, point, direction_unit, mask):
+def _light_pdf_at(scene: S.Scene, origin: Vec3, point: Vec3, dir_unit: Vec3,
+                  mask):
     """Solid-angle pdf of NEE having sampled the direction that hit a light at
     `point` (uniform light selection x uniform area), used for MIS weighting
     of BSDF-sampled light hits.  Exact for 1 light (all reference scenes).
@@ -111,8 +111,9 @@ def _light_pdf_at(scene: S.Scene, origin, point, direction_unit, mask):
     # nearest light row by emission-surface proximity: scenes have <= 1 light,
     # so row 0 is exact; with L>1 this is the standard per-hit-light pdf / L.
     d = point - origin
-    dist2 = jnp.where(mask, sm.dot(d, d), 1.0)
-    cos_t = jnp.abs(sm.dot(direction_unit, lights.normal[0][None, :]))
+    dist2 = jnp.where(mask, d.dot(d), 1.0)
+    ln = V.v3(lights.normal[0])
+    cos_t = jnp.abs(dir_unit.dot(ln))
     cos_t = jnp.where(mask & (cos_t > 1e-6), cos_t, 1.0)
     pdf = dist2 / (lights.area[0] * cos_t)
     return pdf / np.float32(max(scene.num_lights, 1))
@@ -122,9 +123,9 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     """One wavefront bounce: trace, shade, NEE, RR.  Returns new state."""
     nv = max(scene.n_vol, 1)
     n_slots = R.NUM_FIXED_SLOTS + 2 * nv
-    U = R.bounce_uniforms(path_keys, bounce + 1, n_slots)
-    vol_u = U[:, R.NUM_FIXED_SLOTS: R.NUM_FIXED_SLOTS + nv]
-    occ_u = U[:, R.NUM_FIXED_SLOTS + nv: R.NUM_FIXED_SLOTS + 2 * nv]
+    U = R.bounce_uniforms(path_keys, bounce + 1, n_slots)   # [n_slots, N]
+    vol_u = U[R.NUM_FIXED_SLOTS: R.NUM_FIXED_SLOTS + nv]
+    occ_u = U[R.NUM_FIXED_SLOTS + nv: R.NUM_FIXED_SLOTS + 2 * nv]
 
     o, d = state.origin, state.direction
     ray_count = state.ray_count + jnp.sum(state.alive.astype(jnp.float32))
@@ -135,120 +136,144 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     radiance = state.radiance
 
     # ----- miss: sky gradient or black (miss/miss.cu:8-21) ----------------
-    d_unit = sm.normalize(d)
-    sky_t = 0.5 * (d_unit[:, 1] + 1.0)
-    sky = ((1.0 - sky_t)[:, None] * WHITE[None, :]
-           + sky_t[:, None] * SKY_BLUE[None, :]) * scene.sky_light
-    radiance = radiance + sm.where3(state.alive & miss,
-                                    state.throughput * sky,
-                                    jnp.zeros_like(radiance))
+    d_unit = d.normalized()
+    sky_t = 0.5 * (d_unit.y + 1.0)
+    # (1-t)*white + t*(0.5,0.7,1.0), gated by skyLight (Director.cpp:523)
+    sky = Vec3(1.0 - 0.5 * sky_t, 1.0 - 0.3 * sky_t,
+               jnp.ones_like(sky_t)) * scene.sky_light
+    m_sky = state.alive & miss
+    radiance = V.where(m_sky, radiance + state.throughput * sky, radiance)
 
     # ----- gather material row -------------------------------------------
+    # mat_present: static scene-specialization flags — branches for material
+    # models the scene doesn't contain are not traced at all (the analog of
+    # the reference's per-scene SBT carrying only reachable program groups).
+    mp = scene.mat_present
     mats = scene.materials
     mat_type = mats.mat_type[hit.mat_id]
-    fuzz = mats.fuzz[hit.mat_id]
-    eta = mats.eta[hit.mat_id]
     albedo = eval_texture(scene.textures, mats.albedo_tex[hit.mat_id],
-                          hit.uv[:, 0], hit.uv[:, 1], hit.point)
+                          hit.u, hit.v, hit.point, scene.tex_present)
     nrm = hit.normal
+    n = hit.t.shape[0]
+    false_n = jnp.zeros((n,), bool)
+    zero3 = V.zeros(n)
+    ones3 = V.ones(n)
 
-    is_lamb = mat_type == S.MAT_LAMBERTIAN
-    is_metal = mat_type == S.MAT_METAL
-    is_diel = mat_type == S.MAT_DIELECTRIC
-    is_light = mat_type == S.MAT_DIFFUSE_LIGHT
-    is_iso = mat_type == S.MAT_ISOTROPIC
-    is_norm = mat_type == S.MAT_NORMAL
+    is_lamb = (mat_type == S.MAT_LAMBERTIAN) if mp[S.MAT_LAMBERTIAN] else false_n
+    is_metal = (mat_type == S.MAT_METAL) if mp[S.MAT_METAL] else false_n
+    is_diel = (mat_type == S.MAT_DIELECTRIC) if mp[S.MAT_DIELECTRIC] else false_n
+    is_light = (mat_type == S.MAT_DIFFUSE_LIGHT) if mp[S.MAT_DIFFUSE_LIGHT] else false_n
+    is_iso = (mat_type == S.MAT_ISOTROPIC) if mp[S.MAT_ISOTROPIC] else false_n
+    is_norm = (mat_type == S.MAT_NORMAL) if mp[S.MAT_NORMAL] else false_n
+
+    scatter_dir = d_unit  # placeholder for lanes that terminate anyway
+    attenuation = albedo
+    cancel = false_n
+    terminate = false_n
 
     # ----- lambertian: cosine-hemisphere scatter (lambertianMaterial.cu) --
-    ou, ov, ow = sm.build_onb(nrm)
-    local = sm.cosine_direction(U[:, R.U_SCATTER_0], U[:, R.U_SCATTER_1])
-    lamb_dir = sm.normalize(sm.onb_local(ou, ov, ow, local))
-    lamb_pdf = local[:, 2] * sm.INV_PI
-    lamb_cos = sm.dot(nrm, lamb_dir)
-    lamb_scatter_pdf = lamb_cos * sm.INV_PI
-    lamb_cancel = (lamb_pdf <= 0.0) | (lamb_scatter_pdf <= 0.0)
+    if mp[S.MAT_LAMBERTIAN]:
+        ou, ov, ow = sm.build_onb(nrm)
+        local = sm.cosine_direction(U[R.U_SCATTER_0], U[R.U_SCATTER_1])
+        lamb_dir = sm.onb_local(ou, ov, ow, local).normalized()
+        lamb_pdf = local.z * sm.INV_PI
+        lamb_scatter_pdf = nrm.dot(lamb_dir) * sm.INV_PI
+        lamb_cancel = (lamb_pdf <= 0.0) | (lamb_scatter_pdf <= 0.0)
+        scatter_dir = V.where(is_lamb, lamb_dir, scatter_dir)
+        cancel = cancel | (is_lamb & lamb_cancel)
+    else:
+        lamb_pdf = jnp.ones_like(hit.t)
 
     # ----- metal: fuzzy mirror (metalMaterial.cu) -------------------------
-    refl = sm.reflect(d_unit, nrm)
-    fuzz_vec = sm.unit_ball(U[:, R.U_SCATTER_0], U[:, R.U_SCATTER_1],
-                            U[:, R.U_SCATTER_2])
-    metal_dir = sm.normalize(refl + fuzz[:, None] * fuzz_vec)
-    metal_cancel = sm.dot(metal_dir, nrm) <= 0.0
+    if mp[S.MAT_METAL]:
+        fuzz = mats.fuzz[hit.mat_id]
+        refl = V.reflect(d_unit, nrm)
+        fuzz_vec = sm.unit_ball(U[R.U_SCATTER_0], U[R.U_SCATTER_1],
+                                U[R.U_SCATTER_2])
+        metal_dir = (refl + fuzz_vec * fuzz).normalized()
+        metal_cancel = metal_dir.dot(nrm) <= 0.0
+        scatter_dir = V.where(is_metal, metal_dir, scatter_dir)
+        cancel = cancel | (is_metal & metal_cancel)
 
     # ----- dielectric: Snell + Schlick (dielectricMaterial.cu) ------------
-    outside = sm.dot(d_unit, nrm) < 0.0
-    ln = sm.where3(outside, nrm, -nrm)
-    eta_i = jnp.where(outside, 1.0, eta)
-    eta_t = jnp.where(outside, eta, 1.0)
-    ratio = eta_i / eta_t
-    cos_i = jnp.minimum(sm.dot(-d_unit, ln), 1.0)
-    sin_i = sm.safe_sqrt(1.0 - cos_i * cos_i)
-    tir = ratio * sin_i > 1.0
-    reflect_prob = sm.fresnel_schlick(cos_i, eta_i, eta_t)
-    do_reflect = tir | (U[:, R.U_DIELECTRIC] < reflect_prob)
-    sin_t = jnp.minimum(ratio * sin_i, 1.0)
-    cos_t = sm.safe_sqrt(1.0 - sin_t * sin_t)
-    refr_dir = ratio[:, None] * (d_unit + cos_i[:, None] * ln) - cos_t[:, None] * ln
-    diel_dir = sm.where3(do_reflect, sm.reflect(d_unit, ln), refr_dir)
+    if mp[S.MAT_DIELECTRIC]:
+        eta = mats.eta[hit.mat_id]
+        outside = d_unit.dot(nrm) < 0.0
+        ln = V.where(outside, nrm, -nrm)
+        eta_i = jnp.where(outside, 1.0, eta)
+        eta_t = jnp.where(outside, eta, 1.0)
+        ratio = eta_i / eta_t
+        cos_i = jnp.minimum((-d_unit).dot(ln), 1.0)
+        sin_i = sm.safe_sqrt(1.0 - cos_i * cos_i)
+        tir = ratio * sin_i > 1.0
+        reflect_prob = sm.fresnel_schlick(cos_i, eta_i, eta_t)
+        do_reflect = tir | (U[R.U_DIELECTRIC] < reflect_prob)
+        sin_t = jnp.minimum(ratio * sin_i, 1.0)
+        cos_t = sm.safe_sqrt(1.0 - sin_t * sin_t)
+        refr_dir = (d_unit + ln * cos_i) * ratio - ln * cos_t
+        diel_dir = V.where(do_reflect, V.reflect(d_unit, ln), refr_dir)
+        scatter_dir = V.where(is_diel, diel_dir, scatter_dir)
+        attenuation = V.where(is_diel, ones3, attenuation)
 
     # ----- isotropic: uniform sphere scatter (isotropicMaterial.cu) -------
-    iso_dir = sm.sphere_surface(U[:, R.U_SCATTER_0], U[:, R.U_SCATTER_1])
+    if mp[S.MAT_ISOTROPIC]:
+        iso_dir = sm.sphere_surface(U[R.U_SCATTER_0], U[R.U_SCATTER_1])
+        scatter_dir = V.where(is_iso, iso_dir, scatter_dir)
 
     # ----- diffuse light: one-sided emission, terminate (diffuseLight.cu) -
-    facing = sm.dot(nrm, d_unit) < 0.0
-    emitted = sm.where3(facing, albedo, jnp.zeros_like(albedo))
-    if cfg.mis_bsdf_weight and scene.num_lights > 0:
-        w_mask = hit_alive & is_light & state.prev_diffuse
-        lp = _light_pdf_at(scene, o, hit.point, d_unit, w_mask)
-        prev_safe = jnp.where(w_mask, state.prev_pdf, 1.0)
-        w_bsdf = jnp.where(w_mask, sm.power_heuristic(prev_safe, lp), 1.0)
-    else:
-        w_bsdf = jnp.ones_like(hit.t)
-    light_contrib = state.throughput * emitted * w_bsdf[:, None]
-    radiance = radiance + sm.where3(hit_alive & is_light, light_contrib,
-                                    jnp.zeros_like(radiance))
+    if mp[S.MAT_DIFFUSE_LIGHT]:
+        facing = nrm.dot(d_unit) < 0.0
+        emitted = V.where(facing, albedo, zero3)
+        if cfg.mis_bsdf_weight and scene.num_lights > 0:
+            w_mask = hit_alive & is_light & state.prev_diffuse
+            lp = _light_pdf_at(scene, o, hit.point, d_unit, w_mask)
+            prev_safe = jnp.where(w_mask, state.prev_pdf, 1.0)
+            w_bsdf = jnp.where(w_mask, sm.power_heuristic(prev_safe, lp), 1.0)
+        else:
+            w_bsdf = jnp.ones_like(hit.t)
+        radiance = V.where(hit_alive & is_light,
+                           radiance + state.throughput * emitted * w_bsdf,
+                           radiance)
+        attenuation = V.where(is_light, zero3, attenuation)
+        terminate = terminate | is_light
 
     # ----- normal-debug: terminate with normal color (normalMaterial.cu;
     # book-correct contribution — the reference's port makes it render black,
     # SURVEY §2.2) ---------------------------------------------------------
-    norm_color = 0.5 * (nrm + 1.0)
-    radiance = radiance + sm.where3(hit_alive & is_norm,
-                                    state.throughput * norm_color,
-                                    jnp.zeros_like(radiance))
+    if mp[S.MAT_NORMAL]:
+        radiance = V.where(hit_alive & is_norm,
+                           radiance + state.throughput * (nrm * 0.5 + 0.5),
+                           radiance)
+        attenuation = V.where(is_norm, zero3, attenuation)
+        terminate = terminate | is_norm
 
-    # ----- combine scatter ------------------------------------------------
-    scatter_dir = sm.where3(is_lamb, lamb_dir,
-                  sm.where3(is_metal, metal_dir,
-                  sm.where3(is_diel, diel_dir, iso_dir)))
-    attenuation = sm.where3(is_diel, jnp.ones_like(albedo),
-                  sm.where3(is_light | is_norm, jnp.zeros_like(albedo), albedo))
-    cancel = (is_lamb & lamb_cancel) | (is_metal & metal_cancel)
-    terminate = is_light | is_norm | cancel
+    terminate = terminate | cancel
 
     # ----- next-event estimation (closehit.cu:70-118) ---------------------
-    if scene.num_lights > 0:
+    if scene.num_lights > 0 and mp[S.MAT_LAMBERTIAN]:
         lights = scene.lights
         L = scene.num_lights
-        li = jnp.clip((U[:, R.U_LIGHT_SELECT] * L).astype(jnp.int32), 0, L - 1)
-        lpos = (lights.position[li]
-                + U[:, R.U_LIGHT_A, None] * lights.vec_u[li]
-                + U[:, R.U_LIGHT_B, None] * lights.vec_v[li])
+        li = (jnp.zeros_like(hit.mat_id) if L == 1 else
+              jnp.clip((U[R.U_LIGHT_SELECT] * L).astype(jnp.int32), 0, L - 1))
+        l_area = lights.area[0] if L == 1 else lights.area[li]
+        lpos = (V.gather_rows(lights.position, li)
+                + V.gather_rows(lights.vec_u, li) * U[R.U_LIGHT_A]
+                + V.gather_rows(lights.vec_v, li) * U[R.U_LIGHT_B])
         ldir = lpos - hit.point
-        ldist = sm.length(ldir)
-        ldir_u = ldir / jnp.maximum(ldist, 1e-12)[:, None]
-        costa = sm.dot(-ldir_u, lights.normal[li])
+        ldist = ldir.length()
+        ldir_u = ldir * (1.0 / jnp.maximum(ldist, 1e-12))
+        costa = (-ldir_u).dot(V.gather_rows(lights.normal, li))
         l_valid = (ldist > 1e-6) & (costa > 1e-6)
         # "double-where": neutralize inputs on invalid lanes BEFORE the
         # divisions so their (masked-out) cotangents can't overflow to
         # inf/NaN and poison reverse-mode (standard jnp.where-grad trap)
         costa_safe = jnp.where(l_valid, costa, 1.0)
         l_pdf = jnp.where(
-            l_valid, ldist * ldist / (lights.area[li] * costa_safe), 0.0)
-        l_emission = lights.emission[li] * np.float32(L)
+            l_valid, ldist * ldist / (l_area * costa_safe), 0.0)
+        l_emission = V.gather_rows(lights.emission, li) * np.float32(L)
 
         # diffuse BSDF toward the light (lambertianMaterial.cu:74-81)
-        f = albedo * sm.INV_PI
-        bsdf_pdf = jnp.maximum(sm.dot(ldir_u, nrm), 0.0) * sm.INV_PI
+        bsdf_pdf = jnp.maximum(ldir_u.dot(nrm), 0.0) * sm.INV_PI
 
         nee_active = (hit_alive & is_lamb & ~cancel
                       & l_valid & (bsdf_pdf > 0.0))
@@ -262,32 +287,33 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
         l_pdf_safe = jnp.where(nee_active, l_pdf, 1.0)
         bsdf_safe = jnp.where(nee_active, bsdf_pdf, 1.0)
         w_nee = sm.power_heuristic(l_pdf_safe, bsdf_safe)
-        nee = (f * l_emission
-               * (w_nee * sm.dot(ldir_u, nrm) / l_pdf_safe)[:, None])
-        radiance = radiance + sm.where3(nee_active & ~shadowed,
-                                        state.throughput * nee,
-                                        jnp.zeros_like(radiance))
+        # f = albedo/pi; contribution = f * Le * w * cos / l_pdf
+        nee_s = w_nee * jnp.maximum(ldir_u.dot(nrm), 0.0) * sm.INV_PI / l_pdf_safe
+        nee = albedo * l_emission * nee_s
+        radiance = V.where(nee_active & ~shadowed,
+                           radiance + state.throughput * nee,
+                           radiance)
 
     # ----- advance --------------------------------------------------------
     new_alive = hit_alive & ~terminate
     # volume (isotropic) scatter points must NOT be offset along the fake
     # +X normal: they continue from inside the medium
-    next_org = sm.where3(is_iso, hit.point,
-                         sm.offset_point(hit.point, nrm, scatter_dir))
-    origin = sm.where3(hit_alive, next_org, o)
-    direction = sm.where3(new_alive, scatter_dir, d)
-    throughput = sm.where3(new_alive, state.throughput * attenuation,
-                           state.throughput)
+    next_org = V.where(is_iso, hit.point,
+                       sm.offset_point(hit.point, nrm, scatter_dir))
+    origin = V.where(hit_alive, next_org, o)
+    direction = V.where(new_alive, scatter_dir, d)
+    throughput = V.where(new_alive, state.throughput * attenuation,
+                         state.throughput)
 
     # ----- russian roulette (raygen.cu:74-82) -----------------------------
     rr_on = bounce >= cfg.rr_start_depth
-    p_cont = jnp.max(throughput, axis=-1)
-    kill = U[:, R.U_RR] > p_cont
+    p_cont = throughput.max_component()
+    kill = U[R.U_RR] > p_cont
     rr_kill = rr_on & kill
     alive = new_alive & ~rr_kill
     rr_scale = jnp.where(rr_on & ~kill & new_alive,
                          1.0 / jnp.maximum(p_cont, 1e-12), 1.0)
-    throughput = throughput * rr_scale[:, None]
+    throughput = throughput * rr_scale
 
     prev_pdf = jnp.where(new_alive & is_lamb, lamb_pdf, state.prev_pdf)
     prev_diffuse = jnp.where(new_alive, is_lamb, state.prev_diffuse)
@@ -301,9 +327,10 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
 def trace_paths_counted(scene: S.Scene, cfg, pixel_idx, sample_idx, key):
     """Trace one sample for each pixel in `pixel_idx`.
 
-    Returns ([N, 3] linear radiance, scalar ray count).  Uses a while_loop
-    that exits once every path is dead (cheap tail bounces) or lax.scan when
-    cfg.differentiable (reverse-mode AD needs a static trip count)."""
+    Returns (radiance Vec3 of [N] planes, scalar ray count).  Uses a
+    while_loop that exits once every path is dead (cheap tail bounces) or
+    lax.scan when cfg.differentiable (reverse-mode AD needs a static trip
+    count)."""
     path_keys = R.pixel_sample_keys(key, pixel_idx, sample_idx)
     state = generate_camera_rays(scene, cfg, pixel_idx, path_keys)
 
@@ -324,10 +351,12 @@ def trace_paths_counted(scene: S.Scene, cfg, pixel_idx, sample_idx, key):
         _, state = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), state))
 
     # NaN scrub (raygen.cu:17-24 removeNaNs)
-    radiance = jnp.nan_to_num(state.radiance, nan=0.0, posinf=0.0, neginf=0.0)
+    radiance = Vec3(*(jnp.nan_to_num(c, nan=0.0, posinf=0.0, neginf=0.0)
+                      for c in state.radiance))
     return radiance, state.ray_count
 
 
 def trace_paths(scene: S.Scene, cfg, pixel_idx, sample_idx, key):
-    """As trace_paths_counted but radiance only."""
-    return trace_paths_counted(scene, cfg, pixel_idx, sample_idx, key)[0]
+    """As trace_paths_counted but returns [N, 3] radiance (boundary format)."""
+    rad, _ = trace_paths_counted(scene, cfg, pixel_idx, sample_idx, key)
+    return rad.stack()

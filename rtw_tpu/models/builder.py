@@ -394,6 +394,10 @@ class SceneBuilder:
             lights = S.Lights(position=z3, vec_u=z3, vec_v=z3, emission=z3,
                               area=jnp.ones((1,), jnp.float32), normal=z3)
 
+        mat_present = tuple(k in set(self._mat_type) for k in range(6))
+        tex_kinds = {r["tex_type"] for r in self._tex_rows}
+        tex_present = tuple(k in tex_kinds for k in range(5))
+
         scene = S.Scene(
             prims=prims,
             materials=materials,
@@ -405,5 +409,7 @@ class SceneBuilder:
             chunk_plan=tuple(chunk_plan),
             num_lights=len(self._lights),
             light_tex=tuple(l["tex"] for l in self._lights),
+            mat_present=mat_present,
+            tex_present=tex_present,
         )
         return scene

@@ -237,6 +237,13 @@ class Scene:
     # material albedo) or -1; ties NEE emission to the same differentiable
     # parameter as BSDF-side light hits (see diff.py)
     light_tex: tuple = ()
+    # static specialization flags: which material models exist in the scene
+    # (indexed by MAT_*) and which texture kinds (indexed by TEX_*).  The
+    # integrator compiles only the branches a scene can reach — per-scene
+    # kernel specialization, the analog of the reference building an SBT with
+    # only the scene's program groups.
+    mat_present: tuple = (True,) * 6
+    tex_present: tuple = (True,) * 5
 
 
 # n_vol / chunk_plan / num_lights / light_tex are static aux data (they shape
@@ -244,13 +251,14 @@ class Scene:
 def _scene_flatten(s: Scene):
     return (
         (s.prims, s.materials, s.textures, s.lights, s.camera, s.sky_light),
-        (s.n_vol, s.chunk_plan, s.num_lights, s.light_tex),
+        (s.n_vol, s.chunk_plan, s.num_lights, s.light_tex, s.mat_present,
+         s.tex_present),
     )
 
 
 def _scene_unflatten(aux, leaves):
     return Scene(*leaves, n_vol=aux[0], chunk_plan=aux[1], num_lights=aux[2],
-                 light_tex=aux[3])
+                 light_tex=aux[3], mat_present=aux[4], tex_present=aux[5])
 
 
 jax.tree_util.register_pytree_node(Scene, _scene_flatten, _scene_unflatten)

@@ -88,7 +88,7 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels"):
             def local(pix_local):
                 def body(i, acc):
                     rad, _ = trace_paths_counted(scene, cfg, pix_local, i, key)
-                    return acc + rad
+                    return acc + rad.stack()
                 acc = lax.fori_loop(
                     0, cfg.spp, body,
                     jnp.zeros((pix_local.shape[0], 3), jnp.float32))
@@ -119,7 +119,7 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels"):
                 def body(i, acc):
                     s = dev * local_spp + i  # global sample index
                     rad, _ = trace_paths_counted(scene, cfg, pixel_idx, s, key)
-                    return acc + rad
+                    return acc + rad.stack()
 
                 acc = lax.fori_loop(0, local_spp, body,
                                     jnp.zeros((npix, 3), jnp.float32))
@@ -157,7 +157,7 @@ def grad_sharded(scene, cfg, mesh: Mesh, params, target, key, n_samples: int):
 
                 def body(i, acc):
                     rad, _ = trace_paths_counted(sc, cfg, pix_local, i, key)
-                    return acc + rad
+                    return acc + rad.stack()
 
                 acc = lax.fori_loop(
                     0, n_samples, body,

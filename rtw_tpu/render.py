@@ -30,7 +30,7 @@ def _render_tile(scene, cfg, pixel_idx, key, n_samples, accum, s0):
     accum = (radiance_sum [N,3], ray_count scalar)."""
     def body(i, acc):
         rad, rays = trace_paths_counted(scene, cfg, pixel_idx, s0 + i, key)
-        return acc[0] + rad, acc[1] + rays
+        return acc[0] + rad.stack(), acc[1] + rays
 
     return lax.fori_loop(0, n_samples, body, accum)
 

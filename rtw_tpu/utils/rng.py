@@ -48,17 +48,21 @@ def pixel_sample_keys(key: jax.Array, pixel_idx: jax.Array, sample_idx) -> jax.A
 
 
 def bounce_uniforms(path_keys: jax.Array, bounce, n_slots: int) -> jax.Array:
-    """Draw the per-bounce uniform block: [N, n_slots] in [0, 1)."""
+    """Draw the per-bounce uniform block: [n_slots, N] in [0, 1).
+
+    Slot-major so each slot row is a dense [N] plane (rays on the vector
+    lanes; see ops/vec.py on layout)."""
     def draw(k):
         return jax.random.uniform(jax.random.fold_in(k, bounce), (n_slots,), jnp.float32)
-    return jax.vmap(draw)(path_keys)
+    return jax.vmap(draw, out_axes=1)(path_keys)
 
 
 def camera_uniforms(path_keys: jax.Array) -> jax.Array:
-    """Draws consumed before the bounce loop: jitter s,t; lens u1,u2; time."""
+    """Draws consumed before the bounce loop: jitter s,t; lens u1,u2; time.
+    Returns [5, N]."""
     def draw(k):
         return jax.random.uniform(jax.random.fold_in(k, 0x0CA4), (5,), jnp.float32)
-    return jax.vmap(draw)(path_keys)
+    return jax.vmap(draw, out_axes=1)(path_keys)
 
 
 # ---------------------------------------------------------------------------

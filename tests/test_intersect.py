@@ -4,9 +4,19 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from types import SimpleNamespace
+
 from rtw_tpu.models import scene as S
 from rtw_tpu.models.builder import SceneBuilder, translate, rotate_y
-from rtw_tpu.ops.intersect import intersect_scene, occluded, BIG
+from rtw_tpu.ops.intersect import intersect_scene, occluded as _occluded, BIG
+from rtw_tpu.ops.vec import v3
+
+
+def occluded(scene, o, d, tmin, tmax, time, vol_u):
+    """[N,3]-array adapter over the SoA occlusion sweep."""
+    return _occluded(scene, v3(jnp.asarray(o, jnp.float32)),
+                     v3(jnp.asarray(d, jnp.float32)), tmin, tmax, time,
+                     jnp.asarray(vol_u, jnp.float32).T)
 
 
 def _trace(scene, o, d, time=None, vol_u=None, tmax=1e30):
@@ -17,7 +27,12 @@ def _trace(scene, o, d, time=None, vol_u=None, tmax=1e30):
         time = jnp.zeros((n,), jnp.float32)
     if vol_u is None:
         vol_u = jnp.full((n, max(scene.n_vol, 1)), 0.5, jnp.float32)
-    return intersect_scene(scene, o, d, 1e-6, tmax, time, vol_u)
+    h = intersect_scene(scene, v3(o), v3(d), 1e-6, tmax, time,
+                        jnp.asarray(vol_u).T)
+    # [N,3]-array view for assertion convenience
+    return SimpleNamespace(t=h.t, prim_idx=h.prim_idx, mat_id=h.mat_id,
+                           point=h.point.stack(), normal=h.normal.stack(),
+                           uv=jnp.stack([h.u, h.v], axis=-1))
 
 
 def _one_prim_scene(add_fn):

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from rtw_tpu.ops import sampling as sm
+from rtw_tpu.ops import vec as V
 
 
 def _u(rng, n):
@@ -13,22 +14,21 @@ def _u(rng, n):
 
 
 def test_onb_orthonormal(rng):
-    n = jnp.asarray(rng.normal(size=(512, 3)).astype(np.float32))
+    n = V.v3(jnp.asarray(rng.normal(size=(512, 3)).astype(np.float32)))
     u, v, w = sm.build_onb(n)
     for a in (u, v, w):
-        np.testing.assert_allclose(np.asarray(sm.length(a)), 1.0, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(sm.dot(u, v)), 0.0, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(sm.dot(v, w)), 0.0, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(sm.dot(u, w)), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a.length()), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(u.dot(v)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v.dot(w)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(u.dot(w)), 0.0, atol=1e-5)
     # w aligned with n
     np.testing.assert_allclose(
-        np.asarray(sm.dot(w, sm.normalize(n))), 1.0, atol=1e-5)
+        np.asarray(w.dot(n.normalized())), 1.0, atol=1e-5)
 
 
 def test_cosine_direction_distribution(rng):
     n = 200_000
-    d = sm.cosine_direction(_u(rng, n), _u(rng, n))
-    d = np.asarray(d)
+    d = np.asarray(sm.cosine_direction(_u(rng, n), _u(rng, n)).stack())
     np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
     # E[cos theta] = 2/3 for pdf = cos/pi
     assert abs(d[:, 2].mean() - 2.0 / 3.0) < 5e-3
@@ -39,7 +39,8 @@ def test_cosine_direction_distribution(rng):
 
 def test_unit_disk_radius(rng):
     n = 100_000
-    p = np.asarray(sm.unit_disk(_u(rng, n), _u(rng, n)))
+    px, py = sm.unit_disk(_u(rng, n), _u(rng, n))
+    p = np.stack([np.asarray(px), np.asarray(py)], axis=1)
     r = np.linalg.norm(p, axis=1)
     assert r.max() <= 1.0 + 1e-6
     # uniform disk: E[r] = 2/3
@@ -48,7 +49,7 @@ def test_unit_disk_radius(rng):
 
 def test_unit_ball_uniform(rng):
     n = 100_000
-    p = np.asarray(sm.unit_ball(_u(rng, n), _u(rng, n), _u(rng, n)))
+    p = np.asarray(sm.unit_ball(_u(rng, n), _u(rng, n), _u(rng, n)).stack())
     r = np.linalg.norm(p, axis=1)
     assert r.max() <= 1.0 + 1e-6
     # uniform ball: E[r] = 3/4
@@ -58,7 +59,7 @@ def test_unit_ball_uniform(rng):
 
 def test_sphere_surface_uniform(rng):
     n = 100_000
-    d = np.asarray(sm.sphere_surface(_u(rng, n), _u(rng, n)))
+    d = np.asarray(sm.sphere_surface(_u(rng, n), _u(rng, n)).stack())
     np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
     assert np.abs(d.mean(axis=0)).max() < 6e-3
 
@@ -73,9 +74,9 @@ def test_schlick_identities():
 
 
 def test_reflect():
-    d = jnp.asarray([[1.0, -1.0, 0.0]])
-    n = jnp.asarray([[0.0, 1.0, 0.0]])
-    r = np.asarray(sm.reflect(d, n))
+    d = V.v3(jnp.asarray([[1.0, -1.0, 0.0]]))
+    n = V.v3(jnp.asarray([[0.0, 1.0, 0.0]]))
+    r = np.asarray(V.reflect(d, n).stack())
     np.testing.assert_allclose(r, [[1.0, 1.0, 0.0]], atol=1e-6)
 
 

@@ -6,7 +6,20 @@ import pytest
 
 from rtw_tpu.models import scene as S
 from rtw_tpu.models.builder import SceneBuilder
-from rtw_tpu.ops.textures import eval_texture, perlin_noise, turbulence
+from rtw_tpu.ops.textures import eval_texture as _eval_texture, perlin_noise as _perlin, turbulence as _turb
+from rtw_tpu.ops.vec import v3
+
+
+def eval_texture(tex, tid, u, v, p, present=(True,) * 5):
+    return _eval_texture(tex, tid, u, v, v3(p), present).stack()
+
+
+def perlin_noise(tex, p):
+    return _perlin(tex, v3(p))
+
+
+def turbulence(tex, p):
+    return _turb(tex, v3(p))
 
 
 def _scene_with_textures():
