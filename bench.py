@@ -35,10 +35,11 @@ def main():
                        max_depth=BENCH_DEPTH, scene_id=0)
     scene = build_scene(0, cfg.nx, cfg.ny)
 
-    # warm-up: compile + first tunnel transfer
-    warm_cfg = RenderConfig(nx=BENCH_NX, ny=BENCH_NY, spp=1,
-                            max_depth=BENCH_DEPTH, scene_id=0)
-    render(scene, warm_cfg)
+    # warm-up: one full render with the IDENTICAL config, so every jitted
+    # step graph (each spp-chunk size) is compiled and the first tunnel
+    # transfer is paid before the timed run — XLA compiles take tens of
+    # seconds on this host and must not leak into the measurement.
+    render(scene, cfg)
 
     metrics = {}
     img = render(scene, cfg, metrics=metrics)

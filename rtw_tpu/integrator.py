@@ -331,7 +331,7 @@ def trace_paths_counted(scene: S.Scene, cfg, pixel_idx, sample_idx, key):
     while_loop that exits once every path is dead (cheap tail bounces) or
     lax.scan when cfg.differentiable (reverse-mode AD needs a static trip
     count)."""
-    path_keys = R.pixel_sample_keys(key, pixel_idx, sample_idx)
+    path_keys = R.make_path_keys(key, pixel_idx, sample_idx, cfg.rng)
     state = generate_camera_rays(scene, cfg, pixel_idx, path_keys)
 
     if cfg.differentiable:
@@ -360,3 +360,97 @@ def trace_paths(scene: S.Scene, cfg, pixel_idx, sample_idx, key):
     """As trace_paths_counted but returns [N, 3] radiance (boundary format)."""
     rad, _ = trace_paths_counted(scene, cfg, pixel_idx, sample_idx, key)
     return rad.stack()
+
+
+class _WavefrontState(NamedTuple):
+    """Persistent-wavefront carry: one in-flight path per lane plus the
+    lane's sample cursor and radiance accumulator."""
+
+    path: PathState
+    path_keys: Any     # per-path RNG state (uint32 plane or threefry keys)
+    depth: Any         # [N] int32: current bounce index of the lane's path
+    sample: Any        # [N] int32: lane's current sample index
+    accum: Vec3        # [N] planes: sum of completed samples' radiance
+    rays: Any          # scalar f32
+
+
+def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int, n_samples: int):
+    """Persistent wavefront with ray regeneration — the TPU answer to the
+    occupancy collapse of a fixed-depth bounce loop.
+
+    A per-sample while_loop runs until EVERY lane's path dies; with Russian
+    roulette the mean path length is ~5 bounces but the loop runs to ~20,
+    i.e. ~25% average occupancy.  Here each lane immediately starts its next
+    sample (same pixel, sample cursor +1) the moment its path terminates, so
+    occupancy stays ~100% until the final tail.  This replaces OptiX's
+    persistent-thread scheduling of __raygen__ launches (the reference gets
+    this for free from the hardware scheduler).
+
+    Draw discipline is unchanged — every uniform is keyed by logical
+    (pixel, sample, bounce, slot) — so the image is bit-identical to the
+    per-sample loop up to float addition order *within one lane*, which is
+    also sample-ascending here.
+
+    Returns (accum Vec3 [N] = sum over samples [s0, s0+n_samples), rays)."""
+    n = pixel_idx.shape[0]
+    s_init = jnp.full((n,), s0, jnp.int32)
+    path_keys = R.make_path_keys(key, pixel_idx, s_init, cfg.rng)
+    path = generate_camera_rays(scene, cfg, pixel_idx, path_keys)
+    s_end = s0 + n_samples
+
+    wf = _WavefrontState(
+        path=path,
+        path_keys=path_keys,
+        depth=jnp.zeros((n,), jnp.int32),
+        sample=s_init,
+        accum=V.zeros(n),
+        rays=jnp.zeros((), jnp.float32),
+    )
+
+    def cond(wf):
+        return jnp.any(wf.path.alive)
+
+    def body(wf):
+        st = bounce_step(scene, cfg, wf.path_keys, wf.path, wf.depth)
+        depth = wf.depth + 1
+        # a path is finished when the bounce killed it or it hit max_depth
+        finished = wf.path.alive & (~st.alive | (depth >= cfg.max_depth))
+
+        # NaN scrub per completed sample (raygen.cu:17-24 removeNaNs), so a
+        # single bad sample can't poison the lane's whole accumulator
+        rad = Vec3(*(jnp.nan_to_num(c, nan=0.0, posinf=0.0, neginf=0.0)
+                     for c in st.radiance))
+        accum = V.where(finished, wf.accum + rad, wf.accum)
+        sample = jnp.where(finished, wf.sample + 1, wf.sample)
+        regen = finished & (sample < s_end)
+
+        # regenerate: fresh path for (pixel, sample) — computed for all lanes,
+        # selected per lane (lockstep; the cost is one camera-ray block)
+        new_keys = R.make_path_keys(key, pixel_idx, sample, cfg.rng)
+        fresh = generate_camera_rays(scene, cfg, pixel_idx, new_keys)
+
+        alive = jnp.where(finished, regen, st.alive)
+        path = PathState(
+            origin=V.where(regen, fresh.origin, st.origin),
+            direction=V.where(regen, fresh.direction, st.direction),
+            throughput=V.where(regen, fresh.throughput, st.throughput),
+            radiance=V.where(finished, fresh.radiance, st.radiance),
+            alive=alive,
+            time=jnp.where(regen, fresh.time, st.time),
+            prev_pdf=jnp.where(regen, fresh.prev_pdf, st.prev_pdf),
+            prev_diffuse=jnp.where(regen, fresh.prev_diffuse,
+                                   st.prev_diffuse),
+            ray_count=st.ray_count,
+        )
+        keys = jnp.where(regen, new_keys, wf.path_keys)
+        return _WavefrontState(
+            path=path,
+            path_keys=keys,
+            depth=jnp.where(regen, 0, depth),
+            sample=sample,
+            accum=accum,
+            rays=st.ray_count,
+        )
+
+    wf = lax.while_loop(cond, body, wf)
+    return wf.accum, wf.rays

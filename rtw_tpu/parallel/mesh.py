@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
-from rtw_tpu.integrator import trace_paths_counted
+from rtw_tpu.integrator import trace_paths_counted, trace_wavefront
 from rtw_tpu.utils import rng as R
 
 
@@ -86,13 +86,9 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels"):
         @jax.jit
         def run(pix):
             def local(pix_local):
-                def body(i, acc):
-                    rad, _ = trace_paths_counted(scene, cfg, pix_local, i, key)
-                    return acc + rad.stack()
-                acc = lax.fori_loop(
-                    0, cfg.spp, body,
-                    jnp.zeros((pix_local.shape[0], 3), jnp.float32))
-                return acc
+                acc, _ = trace_wavefront(scene, cfg, pix_local, key, 0,
+                                         cfg.spp)
+                return acc.stack()
 
             return jax.shard_map(
                 local, mesh=mesh, in_specs=P("data"), out_specs=P("data"),

@@ -20,19 +20,17 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from rtw_tpu.integrator import trace_paths_counted
+from rtw_tpu.integrator import trace_wavefront
 from rtw_tpu.utils import rng as R
 
 
 @functools.partial(jax.jit, static_argnums=(1, 4), donate_argnums=(5,))
 def _render_tile(scene, cfg, pixel_idx, key, n_samples, accum, s0):
-    """Accumulate `n_samples` samples (starting at index s0) for one tile.
+    """Accumulate `n_samples` samples (starting at index s0) for one tile via
+    the persistent regenerating wavefront (integrator.trace_wavefront).
     accum = (radiance_sum [N,3], ray_count scalar)."""
-    def body(i, acc):
-        rad, rays = trace_paths_counted(scene, cfg, pixel_idx, s0 + i, key)
-        return acc[0] + rad.stack(), acc[1] + rays
-
-    return lax.fori_loop(0, n_samples, body, accum)
+    acc_v, rays = trace_wavefront(scene, cfg, pixel_idx, key, s0, n_samples)
+    return accum[0] + acc_v.stack(), accum[1] + rays
 
 
 def render(scene, cfg, key=None, verbose: bool = False,

@@ -46,6 +46,14 @@ class RenderConfig:
     # Intersection prim-chunk size (prims tested per vectorized block).
     prim_chunk: int = 128
 
+    # RNG implementation -------------------------------------------------
+    # "fast": stateless pcg_hash streams keyed by (seed, pixel, sample,
+    #         bounce, slot) — the GPU-rendering standard, ~100x cheaper than
+    #         threefry on the VPU.
+    # "threefry": jax.random counter-based streams (same logical keying).
+    # Both make the estimator independent of device count / mesh shape.
+    rng: str = "fast"
+
     # Differentiability ------------------------------------------------------
     # When True the bounce loop uses lax.scan with a static trip count so
     # reverse-mode AD works; when False a lax.while_loop early-exits once all
@@ -79,6 +87,8 @@ class RenderConfig:
     def resolved_spp_chunk(self) -> int:
         if self.spp_chunk > 0:
             return min(self.spp_chunk, self.spp)
-        # auto: keep batches of rays*spp_chunk around ~2M paths per step
-        per = max(1, 2_000_000 // max(1, self.resolved_ray_batch()))
+        # auto: ~32M paths per jitted step.  The regenerating wavefront pays
+        # one ~max_depth drain tail per step, so bigger chunks amortize it;
+        # memory per step is flat (per-lane accumulators).
+        per = max(1, 32_000_000 // max(1, self.resolved_ray_batch()))
         return min(per, self.spp)
