@@ -41,8 +41,24 @@ from rtw_tpu.ops import sampling as sm
 from rtw_tpu.ops import vec as V
 from rtw_tpu.ops.vec import Vec3
 from rtw_tpu.ops.intersect import intersect_scene, occluded, BIG
-from rtw_tpu.ops.textures import eval_texture
+from rtw_tpu.ops.shading import gather_shade, resolve_albedo
 from rtw_tpu.utils import rng as R
+
+
+def _pallas_backend(cfg, scene) -> bool:
+    """Static choice of trace backend.  'auto' uses the Pallas kernels on
+    TPU for non-differentiable renders of scenes with enough primitives
+    that the plain-XLA sweep's [C, N] HBM round-trips dominate (measured
+    crossover ~10^2 prims; tiny scenes fuse fine in XLA and skip the
+    kernel's fixed padding/launch overhead).  The pure-JAX sweep is the
+    reference implementation everywhere else (it also carries the VJP)."""
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend == "jnp":
+        return False
+    n_prims = sum(e[1] for e in scene.chunk_plan)
+    return ((not cfg.differentiable) and n_prims >= 128
+            and jax.default_backend() == "tpu")
 
 
 class PathState(NamedTuple):
@@ -129,7 +145,16 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
 
     o, d = state.origin, state.direction
     ray_count = state.ray_count + jnp.sum(state.alive.astype(jnp.float32))
-    hit = intersect_scene(scene, o, d, cfg.t_min, cfg.t_max, state.time, vol_u)
+    use_pallas = _pallas_backend(cfg, scene)
+    if use_pallas:
+        from rtw_tpu.ops.trace_kernel import trace_pallas
+
+        hit, shade = trace_pallas(scene, o, d, cfg.t_min, cfg.t_max,
+                                  state.time, vol_u)
+    else:
+        hit = intersect_scene(scene, o, d, cfg.t_min, cfg.t_max, state.time,
+                              vol_u)
+        shade = gather_shade(scene, hit.prim_idx, hit.prim_idx >= 0)
     miss = hit.prim_idx < 0
     hit_alive = state.alive & ~miss
 
@@ -144,15 +169,13 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     m_sky = state.alive & miss
     radiance = V.where(m_sky, radiance + state.throughput * sky, radiance)
 
-    # ----- gather material row -------------------------------------------
+    # ----- shading record of the winning prim ------------------------------
     # mat_present: static scene-specialization flags — branches for material
     # models the scene doesn't contain are not traced at all (the analog of
     # the reference's per-scene SBT carrying only reachable program groups).
     mp = scene.mat_present
-    mats = scene.materials
-    mat_type = mats.mat_type[hit.mat_id]
-    albedo = eval_texture(scene.textures, mats.albedo_tex[hit.mat_id],
-                          hit.u, hit.v, hit.point, scene.tex_present)
+    mat_type = shade.mat_type
+    albedo = resolve_albedo(scene, shade, hit.point, hit.u, hit.v)
     nrm = hit.normal
     n = hit.t.shape[0]
     false_n = jnp.zeros((n,), bool)
@@ -186,7 +209,7 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
 
     # ----- metal: fuzzy mirror (metalMaterial.cu) -------------------------
     if mp[S.MAT_METAL]:
-        fuzz = mats.fuzz[hit.mat_id]
+        fuzz = shade.fuzz
         refl = V.reflect(d_unit, nrm)
         fuzz_vec = sm.unit_ball(U[R.U_SCATTER_0], U[R.U_SCATTER_1],
                                 U[R.U_SCATTER_2])
@@ -197,7 +220,7 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
 
     # ----- dielectric: Snell + Schlick (dielectricMaterial.cu) ------------
     if mp[S.MAT_DIELECTRIC]:
-        eta = mats.eta[hit.mat_id]
+        eta = shade.eta
         outside = d_unit.dot(nrm) < 0.0
         ln = V.where(outside, nrm, -nrm)
         eta_i = jnp.where(outside, 1.0, eta)
@@ -282,8 +305,16 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
         # relative end margin: the absolute 5e-5 of the reference
         # (closehit.cu:100) is smaller than fp32 error at scene scale and
         # than the acne offset above, making the light occlude itself
-        shadowed = occluded(scene, shadow_org, ldir_u, cfg.shadow_eps,
-                            ldist * np.float32(0.999), state.time, occ_u)
+        if use_pallas:
+            from rtw_tpu.ops.trace_kernel import occluded_pallas
+
+            shadowed = occluded_pallas(scene, shadow_org, ldir_u,
+                                       cfg.shadow_eps,
+                                       ldist * np.float32(0.999),
+                                       state.time, occ_u)
+        else:
+            shadowed = occluded(scene, shadow_org, ldir_u, cfg.shadow_eps,
+                                ldist * np.float32(0.999), state.time, occ_u)
         l_pdf_safe = jnp.where(nee_active, l_pdf, 1.0)
         bsdf_safe = jnp.where(nee_active, bsdf_pdf, 1.0)
         w_nee = sm.power_heuristic(l_pdf_safe, bsdf_safe)

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import random as _pyrandom
 from typing import Optional
 
 import numpy as np
@@ -94,7 +93,7 @@ class _Prim:
 
 
 class SceneBuilder:
-    def __init__(self, perlin_seed: int = 0):
+    def __init__(self):
         self._prims: list[_Prim] = []
         self._mat_type: list[int] = []
         self._mat_tex: list[int] = []
@@ -104,8 +103,6 @@ class SceneBuilder:
         self._images: list[np.ndarray] = []
         self._lights: list[dict] = []
         self._camera: Optional[S.Camera] = None
-        self._perlin_rng = _pyrandom.Random(perlin_seed)
-        self._perlin: Optional[tuple] = None
 
     # --- textures (ioTexture.h) ------------------------------------------
     def _add_tex(self, **kw) -> int:
@@ -128,38 +125,20 @@ class SceneBuilder:
         return self._add_tex(tex_type=S.TEX_CHECKER, odd=odd, even=even)
 
     def noise_texture(self, scale: float) -> int:
-        self._ensure_perlin()
+        """Perlin-marble texture (gradients are hash-derived at shade time,
+        ops/textures.py:_lattice_gradient — no tables)."""
         return self._add_tex(tex_type=S.TEX_NOISE, scale=scale)
 
     def image_texture(self, path: str) -> int:
         from PIL import Image
 
         img = Image.open(path).convert("RGB")
-        arr = np.asarray(img, dtype=np.float32) / 255.0
+        arr = np.asarray(img, dtype=np.uint8)
         # store with row 0 at v=0 (image bottom), matching the reference's
         # row flip at load (ioTexture.h:252-275) + normalized-v fetch
         arr = arr[::-1].copy()
         self._images.append(arr)
         return self._add_tex(tex_type=S.TEX_IMAGE, image_id=len(self._images) - 1)
-
-    def _ensure_perlin(self):
-        if self._perlin is not None:
-            return
-        rnd = self._perlin_rng.random
-        ranvec = np.empty((256, 3), np.float32)
-        for i in range(256):
-            v = np.array([-1 + 2 * rnd(), -1 + 2 * rnd(), -1 + 2 * rnd()])
-            ranvec[i] = v / np.linalg.norm(v)
-
-        def perm():
-            p = list(range(256))
-            # Fisher-Yates exactly as ioTexture.h:130-137
-            for i in range(255, 0, -1):
-                target = int(rnd() * (i + 1))
-                p[i], p[target] = p[target], p[i]
-            return np.array(p, np.int32)
-
-        self._perlin = (ranvec, perm(), perm(), perm())
 
     # --- materials (material/io*.h) --------------------------------------
     def _add_mat(self, mtype, tex, fuzz=0.0, eta=1.0) -> int:
@@ -333,13 +312,35 @@ class SceneBuilder:
                 slot_arr.append(-1)
             cursor += size
 
+        # flattened per-prim shading record (see Primitives docstring)
+        mat_np = np.array(mat_arr, np.int32)
+        m_type = np.array(self._mat_type, np.int32)
+        m_tex = np.array(self._mat_tex, np.int32)
+        m_fuzz = np.array(self._mat_fuzz, np.float32)
+        m_eta = np.array(self._mat_eta, np.float32)
+        t_type = np.array([r["tex_type"] for r in self._tex_rows], np.int32)
+        t_scale = np.array([r["scale"] for r in self._tex_rows], np.float32)
+        t_img = np.array([r["image_id"] for r in self._tex_rows], np.int32)
+        t_odd = np.array([r["odd"] for r in self._tex_rows], np.int32)
+        t_even = np.array([r["even"] for r in self._tex_rows], np.int32)
+        p_tex = m_tex[mat_np]
+
         prims = S.Primitives(
             prim_type=jnp.asarray(np.array(ptype_arr, np.int32)),
             params=jnp.asarray(np.stack(params_arr)),
-            material_id=jnp.asarray(np.array(mat_arr, np.int32)),
+            material_id=jnp.asarray(mat_np),
             o2w=jnp.asarray(np.stack(o2w_arr)),
             w2o=jnp.asarray(np.stack(w2o_arr)),
             vol_slot=jnp.asarray(np.array(slot_arr, np.int32)),
+            mat_type_p=jnp.asarray(m_type[mat_np]),
+            tex_type_p=jnp.asarray(t_type[p_tex]),
+            fuzz_p=jnp.asarray(m_fuzz[mat_np]),
+            eta_p=jnp.asarray(m_eta[mat_np]),
+            scale_p=jnp.asarray(t_scale[p_tex]),
+            image_id_p=jnp.asarray(np.maximum(t_img[p_tex], 0)),
+            tex_idx=jnp.asarray(p_tex),
+            odd_idx=jnp.asarray(np.maximum(t_odd[p_tex], 0)),
+            even_idx=jnp.asarray(np.maximum(t_even[p_tex], 0)),
         )
 
         materials = S.Materials(
@@ -349,20 +350,24 @@ class SceneBuilder:
             eta=jnp.asarray(np.array(self._mat_eta, np.float32)),
         )
 
-        if self._perlin is None:
-            self._ensure_perlin()
-        ranvec, px, py, pz = self._perlin
-
         if self._images:
-            h = max(im.shape[0] for im in self._images)
-            w = max(im.shape[1] for im in self._images)
-            atlas = np.zeros((len(self._images), h, w, 3), np.float32)
             dims = np.zeros((len(self._images), 2), np.int32)
+            offsets = np.zeros(len(self._images), np.int32)
+            chunks = []
+            cur = 0
             for i, im in enumerate(self._images):
-                atlas[i, : im.shape[0], : im.shape[1]] = im
-                dims[i] = (im.shape[0], im.shape[1])
+                h, w = im.shape[0], im.shape[1]
+                dims[i] = (h, w)
+                offsets[i] = cur
+                packed = (im[..., 0].astype(np.uint32)
+                          | (im[..., 1].astype(np.uint32) << 8)
+                          | (im[..., 2].astype(np.uint32) << 16))
+                chunks.append(packed.reshape(-1))
+                cur += h * w
+            atlas = np.concatenate(chunks)
         else:
-            atlas = np.zeros((1, 1, 1, 3), np.float32)
+            atlas = np.zeros(1, np.uint32)
+            offsets = np.zeros(1, np.int32)
             dims = np.ones((1, 2), np.int32)
 
         textures = S.Textures(
@@ -372,11 +377,8 @@ class SceneBuilder:
             even=jnp.asarray(np.array([r["even"] for r in self._tex_rows], np.int32)),
             scale=jnp.asarray(np.array([r["scale"] for r in self._tex_rows], np.float32)),
             image_id=jnp.asarray(np.array([r["image_id"] for r in self._tex_rows], np.int32)),
-            ranvec=jnp.asarray(ranvec),
-            perm_x=jnp.asarray(px),
-            perm_y=jnp.asarray(py),
-            perm_z=jnp.asarray(pz),
-            images=jnp.asarray(atlas),
+            images_packed=jnp.asarray(atlas),
+            image_offset=jnp.asarray(offsets),
             image_dims=jnp.asarray(dims),
         )
 
@@ -411,5 +413,6 @@ class SceneBuilder:
             light_tex=tuple(l["tex"] for l in self._lights),
             mat_present=mat_present,
             tex_present=tex_present,
+            vol_slots_static=tuple(slot_arr),
         )
         return scene

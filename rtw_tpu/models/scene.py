@@ -82,6 +82,23 @@ class Primitives:
     w2o: Any            # float32 [P, 3, 4] world -> object
     vol_slot: Any       # int32 [P]; >=0 for volume prims: index of their
                         # per-bounce free-flight uniform column; -1 otherwise
+    # --- flattened per-prim shading record -------------------------------
+    # The material/texture tables denormalized onto primitives, so the hot
+    # path resolves the winning prim's shading inputs without indirect
+    # per-ray gathers through [M]/[T] tables (a per-lane gather is ~11.5 ms
+    # per 1M lanes on TPU; the Pallas trace kernel instead fetches all of
+    # these with one in-VMEM one-hot matmul).  `tex_idx`/`odd_idx`/`even_idx`
+    # stay INDICES into Textures.color so texture-color gradients and
+    # apply_params updates flow through (diff.py).
+    mat_type_p: Any     # int32 [P]   MAT_*
+    tex_type_p: Any     # int32 [P]   TEX_* of the albedo texture
+    fuzz_p: Any         # float32 [P] metal fuzz
+    eta_p: Any          # float32 [P] dielectric eta
+    scale_p: Any        # float32 [P] noise scale
+    image_id_p: Any     # int32 [P]   image index (0 if none)
+    tex_idx: Any        # int32 [P]   row in Textures.color
+    odd_idx: Any        # int32 [P]   checker odd child row (0 if none)
+    even_idx: Any       # int32 [P]   checker even child row
 
     @property
     def count(self) -> int:
@@ -125,15 +142,15 @@ class Textures:
     even: Any           # int32 [T]
     scale: Any          # float32 [T]      noise scale
     image_id: Any       # int32 [T]        index into images list (-1 if none)
-    # Perlin tables (shared; texture/ioTexture.h:118-219)
-    ranvec: Any         # float32 [256, 3]
-    perm_x: Any         # int32 [256]
-    perm_y: Any         # int32 [256]
-    perm_z: Any         # int32 [256]
-    # Image atlas: a single [n_images, H, W, 3] float32 array (RGBA8 -> /255),
-    # padded to the max H/W; true sizes in image_dims [n_images, 2] = (h, w).
-    images: Any
-    image_dims: Any
+    # Image atlas, RGB8-packed: one flat uint32 plane (0x00BBGGRR per texel,
+    # row-major, images concatenated).  A bilinear fetch is 4 flat 1-D
+    # gathers + bit unpack — the multi-dim [n,H,W,3] float gather a
+    # cudaTextureObject_t-style layout would need is ~an order of magnitude
+    # slower on TPU.  True sizes in image_dims [n_images, 2] = (h, w),
+    # start indices in image_offset [n_images].
+    images_packed: Any  # uint32 [sum(h*w)]
+    image_offset: Any   # int32 [n_images]
+    image_dims: Any     # int32 [n_images, 2]
 
     @property
     def count(self) -> int:
@@ -244,6 +261,10 @@ class Scene:
     # only the scene's program groups.
     mat_present: tuple = (True,) * 6
     tex_present: tuple = (True,) * 5
+    # static per-prim volume slot (mirrors Primitives.vol_slot); the Pallas
+    # trace kernel needs these at trace time to stack the right free-flight
+    # uniform rows per block
+    vol_slots_static: tuple = ()
 
 
 # n_vol / chunk_plan / num_lights / light_tex are static aux data (they shape
@@ -252,13 +273,14 @@ def _scene_flatten(s: Scene):
     return (
         (s.prims, s.materials, s.textures, s.lights, s.camera, s.sky_light),
         (s.n_vol, s.chunk_plan, s.num_lights, s.light_tex, s.mat_present,
-         s.tex_present),
+         s.tex_present, s.vol_slots_static),
     )
 
 
 def _scene_unflatten(aux, leaves):
     return Scene(*leaves, n_vol=aux[0], chunk_plan=aux[1], num_lights=aux[2],
-                 light_tex=aux[3], mat_present=aux[4], tex_present=aux[5])
+                 light_tex=aux[3], mat_present=aux[4], tex_present=aux[5],
+                 vol_slots_static=aux[6])
 
 
 jax.tree_util.register_pytree_node(Scene, _scene_flatten, _scene_unflatten)

@@ -274,16 +274,21 @@ def _sphere_uv(n: Vec3):
     return u, v
 
 
-def _payload(ptype: int, axis: int, p9, o: Vec3, d: Vec3, t, time):
+def _payload(ptype: int, axis: int, p9, o: Vec3, d: Vec3, t, time,
+             sphere_uv=None):
     """Object-space hit payload for one gathered prim per ray.
     p9: list of 9 [N] param planes; o, d Vec3 [N]; t [N].
+    `sphere_uv` overrides the spherical-uv map (the Pallas kernel passes a
+    polynomial atan2/asin since Mosaic has no transcendental lowering).
     Returns (point Vec3, normal Vec3, u, v)."""
+    if sphere_uv is None:
+        sphere_uv = _sphere_uv
     point = o + d * t
     zero = jnp.zeros_like(t)
     if ptype == S.PRIM_SPHERE:
         inv_r = 1.0 / p9[3]
         normal = (point - Vec3(p9[0], p9[1], p9[2])) * inv_r
-        u, v = _sphere_uv(normal)
+        u, v = sphere_uv(normal)
         return point, normal, u, v
     if ptype == S.PRIM_MOVING_SPHERE:
         c0 = Vec3(p9[0], p9[1], p9[2])
@@ -293,7 +298,7 @@ def _payload(ptype: int, axis: int, p9, o: Vec3, d: Vec3, t, time):
                          (time - p9[7]) / jnp.where(span == 0.0, 1.0, span))
         center = c0 + (c1 - c0) * frac
         normal = (point - center) * (1.0 / p9[3])
-        u, v = _sphere_uv(normal)
+        u, v = sphere_uv(normal)
         return point, normal, u, v
     if ptype == S.PRIM_RECT:
         ia, ib = _AXIS_OTHERS[axis]

@@ -11,17 +11,41 @@ a static two-level dataflow.  Colors are Vec3 component planes (ops/vec.py).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from rtw_tpu.models import scene as S
 from rtw_tpu.ops import vec as V
 from rtw_tpu.ops.vec import Vec3
+from rtw_tpu.utils.rng import pcg_hash, _to_unit
+
+
+def _lattice_gradient(ix, iy, iz) -> Vec3:
+    """Unit gradient at an integer lattice point from chained pcg_hash.
+
+    Replaces the reference's ranvec[perm_x[i]^perm_y[j]^perm_z[k]] table
+    scheme (texture/ioTexture.h:118-219, noiseTexture.cu:18-53): a per-lane
+    gather costs ~11.5 ms per 1M lanes on TPU regardless of table size,
+    and the 8-corner x 7-octave turbulence would issue ~168 of them per
+    bounce.  Hash arithmetic is pure VPU work.  The reference's own tables
+    are mt19937-seeded (already a documented divergence, QUIRKS.md #20);
+    any valid random-unit-gradient lattice is an equally correct Perlin.
+    """
+    h = pcg_hash(ix.astype(jnp.uint32)
+                 + pcg_hash(iy.astype(jnp.uint32)
+                            + pcg_hash(iz.astype(jnp.uint32))))
+    gx = _to_unit(h) * 2.0 - 1.0
+    gy = _to_unit(pcg_hash(h + np.uint32(1))) * 2.0 - 1.0
+    gz = _to_unit(pcg_hash(h + np.uint32(2))) * 2.0 - 1.0
+    inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-12)
+    return Vec3(gx * inv, gy * inv, gz * inv)
 
 
 def perlin_noise(tex: S.Textures, p: Vec3):
     """Trilinear gradient Perlin noise (noiseTexture.cu:18-53), batched.
 
-    p: Vec3 of [N] planes -> [N] in [-1, 1]-ish.
+    p: Vec3 of [N] planes -> [N] in [-1, 1]-ish.  `tex` is accepted for API
+    symmetry; gradients come from `_lattice_gradient` (see there).
     """
     fx, fy, fz = jnp.floor(p.x), jnp.floor(p.y), jnp.floor(p.z)
     ux, uy, uz = p.x - fx, p.y - fy, p.z - fz
@@ -36,16 +60,13 @@ def perlin_noise(tex: S.Textures, p: Vec3):
 
     accum = jnp.zeros_like(p.x)
     for di in range(2):
-        ix = tex.perm_x[(i + di) & 255]
-        wxd = ux - di
         wx = sx if di else (1.0 - sx)
+        wxd = ux - di
         for dj in range(2):
-            iy = tex.perm_y[(j + dj) & 255]
-            wyd = uy - dj
             wy = sy if dj else (1.0 - sy)
+            wyd = uy - dj
             for dk in range(2):
-                iz = tex.perm_z[(k + dk) & 255]
-                g = V.gather_rows(tex.ranvec, ix ^ iy ^ iz)
+                g = _lattice_gradient(i + di, j + dj, k + dk)
                 wz = sz if dk else (1.0 - sz)
                 dot = g.x * wxd + g.y * wyd + g.z * (uz - dk)
                 accum = accum + (wx * wy * wz) * dot
@@ -67,9 +88,14 @@ def turbulence(tex: S.Textures, p: Vec3, octaves: int = 7):
 def _image_bilinear(tex: S.Textures, image_id, u, v) -> Vec3:
     """Normalized-coordinate bilinear fetch with clamp addressing — the
     explicit form of the reference's cudaTextureObject_t setup
-    (ioTexture.h:293-311: clamp, linear filter, normalized floats)."""
-    h_i = tex.image_dims[image_id, 0]
-    w_i = tex.image_dims[image_id, 1]
+    (ioTexture.h:293-311: clamp, linear filter, normalized floats).
+
+    4 flat uint32 gathers from the RGB8-packed atlas + bit unpack (see
+    Textures.images_packed); per-image dims/offset come from 1-row-or-tiny
+    tables."""
+    h_i = tex.image_dims[:, 0][image_id]
+    w_i = tex.image_dims[:, 1][image_id]
+    off = tex.image_offset[image_id]
     h = h_i.astype(jnp.float32)
     w = w_i.astype(jnp.float32)
     x = u * w - 0.5
@@ -79,11 +105,18 @@ def _image_bilinear(tex: S.Textures, image_id, u, v) -> Vec3:
     fx = x - x0
     fy = y - y0
 
+    inv255 = np.float32(1.0 / 255.0)
+
     def fetch(xi, yi) -> Vec3:
         xi = jnp.clip(xi, 0, w_i - 1)
         yi = jnp.clip(yi, 0, h_i - 1)
-        px = tex.images[image_id, yi, xi]         # [N, 3] gather
-        return Vec3(px[:, 0], px[:, 1], px[:, 2])
+        bits = tex.images_packed[off + yi * w_i + xi]     # one 1-D gather
+        m = np.uint32(0xFF)
+        return Vec3(
+            (bits & m).astype(jnp.float32) * inv255,
+            ((bits >> np.uint32(8)) & m).astype(jnp.float32) * inv255,
+            ((bits >> np.uint32(16)) & m).astype(jnp.float32) * inv255,
+        )
 
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)

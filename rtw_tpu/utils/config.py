@@ -46,6 +46,12 @@ class RenderConfig:
     # Intersection prim-chunk size (prims tested per vectorized block).
     prim_chunk: int = 128
 
+    # Trace backend --------------------------------------------------------
+    # "auto": Pallas kernels on TPU for non-differentiable renders
+    #         (ops/trace_kernel.py), pure-JAX sweep elsewhere.
+    # "pallas" / "jnp": force one (pallas requires TPU or interpret mode).
+    backend: str = "auto"
+
     # RNG implementation -------------------------------------------------
     # "fast": stateless pcg_hash streams keyed by (seed, pixel, sample,
     #         bounce, slot) — the GPU-rendering standard, ~100x cheaper than

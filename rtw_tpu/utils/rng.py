@@ -169,18 +169,3 @@ class XorShift32:
         if rnd != np.float32(1.0):
             return float(rnd)
         return float(0x3F7FFFFF)  # literal int-to-float conversion quirk
-
-
-def mt19937_float_stream(seed: int = 0):
-    """Float stream used by the reference's Perlin tables
-    (texture/ioTexture.h:21-26: std::mt19937(0) + uniform_real_distribution).
-
-    The exact C++ distribution mapping is implementation-defined; we use the
-    canonical mt19937 32-bit output mapped to [0,1) which matches
-    generate_canonical with one 32-bit variate.  Divergence from MSVC's
-    mapping is possible and accepted (SURVEY §2.1 textures: tables are only
-    required to be *a* valid Perlin permutation set).
-    """
-    rng = np.random.Generator(np.random.MT19937(seed))
-    while True:
-        yield float(rng.integers(0, 2**32) / 2**32)

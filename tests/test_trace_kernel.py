@@ -1,0 +1,78 @@
+"""Pallas trace-kernel equivalence vs the pure-JAX reference sweep.
+
+Runs in interpreter mode so the CPU suite covers the kernel logic; the same
+comparison runs compiled on real TPU hardware (see _pallas_check usage in
+BASELINE.md history).  The pure-JAX ops/intersect.py sweep is the reference
+implementation; the kernel must agree on every hit-record field.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import rtw_tpu as rt
+from rtw_tpu.ops.intersect import intersect_scene, occluded
+from rtw_tpu.ops.shading import gather_shade
+from rtw_tpu.ops.vec import v3
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    from rtw_tpu.ops import trace_kernel as TK
+    HAVE_PALLAS = True
+except ImportError:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+def _rand_rays(rng, n, scale, origin_shift):
+    o = v3(jnp.asarray(rng.uniform(-1, 1, (n, 3)) * scale + origin_shift,
+                       jnp.float32))
+    d = v3(jnp.asarray(rng.normal(size=(n, 3)), jnp.float32))
+    return o, d
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+@pytest.mark.parametrize("sid,scale,shift", [
+    (0, 600.0, (278.0, 278.0, -400.0)),   # Cornell: transforms + NEE light
+    (3, 600.0, (278.0, 278.0, -400.0)),   # volumes + transforms
+    (5, 4.0, (0.0, 1.0, 1.0)),            # spheres only
+])
+def test_kernel_matches_jnp(sid, scale, shift):
+    scene = rt.build_scene(sid, 64, 64)
+    rng = np.random.default_rng(7)
+    n = TK.TILE  # one tile keeps interpret mode fast
+    o, d = _rand_rays(rng, n, scale, shift)
+    tm = jnp.zeros((n,), jnp.float32)
+    vu = jnp.asarray(rng.uniform(0.05, 0.95,
+                                 (max(scene.n_vol, 1), n)), jnp.float32)
+
+    h_ref = intersect_scene(scene, o, d, 1e-6, 1e27, tm, vu)
+    sh_ref = gather_shade(scene, h_ref.prim_idx, h_ref.prim_idx >= 0)
+    with pltpu.force_tpu_interpret_mode():
+        h_k, sh_k = TK.trace_pallas(scene, o, d, 1e-6, 1e27, tm, vu)
+        occ_k = TK.occluded_pallas(scene, o, d, 1e-4, 1e4, tm, vu)
+    occ_ref = occluded(scene, o, d, 1e-4, 1e4, tm, vu)
+
+    np.testing.assert_array_equal(np.asarray(h_ref.prim_idx),
+                                  np.asarray(h_k.prim_idx))
+    hit = np.asarray(h_ref.prim_idx) >= 0
+    # rtol 2e-4: grazing hits amplify FMA-contraction differences between
+    # the two compilations through the quadratic's catastrophic cancellation
+    np.testing.assert_allclose(np.asarray(h_ref.t)[hit],
+                               np.asarray(h_k.t)[hit], rtol=2e-4)
+    for a, b in [(h_ref.point, h_k.point), (h_ref.normal, h_k.normal)]:
+        np.testing.assert_allclose(np.asarray(a.stack())[hit],
+                                   np.asarray(b.stack())[hit],
+                                   rtol=1e-4, atol=1e-4)
+    # uv: kernel uses a polynomial atan2 (~1e-4 rad)
+    np.testing.assert_allclose(np.asarray(h_ref.u)[hit],
+                               np.asarray(h_k.u)[hit], atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ_k))
+    # shading record of the winner
+    np.testing.assert_array_equal(
+        np.asarray(sh_ref.mat_type)[hit], np.asarray(sh_k.mat_type)[hit])
+    np.testing.assert_allclose(
+        np.asarray(sh_ref.rgb.stack())[hit],
+        np.asarray(sh_k.rgb.stack())[hit], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sh_ref.fuzz)[hit],
+                               np.asarray(sh_k.fuzz)[hit], atol=1e-6)
