@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint every N samples (0: every spp chunk)")
     p.add_argument("--sharded", action="store_true",
                    help="shard pixels over all visible devices")
+    p.add_argument("--denoise", action="store_true",
+                   help="edge-avoiding a-trous post-filter guided by a "
+                        "first-hit G-buffer (classical analog of the "
+                        "reference's OptiX LDR denoiser; non-parity)")
     p.add_argument("--metrics-json", default=None,
                    help="write render metrics JSON next to the image")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -111,7 +115,14 @@ def main(argv=None) -> int:
     if args.verbose:
         print(f"INFO: Took {elapsed:.1f} seconds", file=sys.stderr)
 
-    write_image(to_srgb8(img, cfg.gamma), args.output)
+    if args.denoise:
+        from rtw_tpu.denoise import denoise
+
+        disp = denoise(img, scene, cfg, gamma=cfg.gamma)  # display-space
+        out8 = to_srgb8(disp, gamma=1.0)
+    else:
+        out8 = to_srgb8(img, cfg.gamma)
+    write_image(out8, args.output)
     if args.metrics_json:
         with open(args.metrics_json, "w") as f:
             json.dump(metrics, f, indent=2)

@@ -79,6 +79,39 @@ def _is_rigid(m: np.ndarray) -> bool:
     return bool(np.allclose(r @ r.T, np.eye(3), atol=1e-5))
 
 
+def _prim_aabb(p: "_Prim") -> tuple[np.ndarray, np.ndarray]:
+    """Conservative world-space AABB of one primitive (for the trace
+    kernels' per-tile block culling).  Object-space bounds are pushed
+    through the instance transform corner-wise."""
+    q = p.params.astype(np.float64)
+    if p.ptype in (S.PRIM_SPHERE, S.PRIM_VOLUME_SPHERE):
+        lo, hi = q[0:3] - q[3], q[0:3] + q[3]
+    elif p.ptype == S.PRIM_MOVING_SPHERE:
+        lo = np.minimum(q[0:3], q[4:7]) - q[3]
+        hi = np.maximum(q[0:3], q[4:7]) + q[3]
+    elif p.ptype == S.PRIM_RECT:
+        axis = int(q[5])
+        ia, ib = [(1, 2), (0, 2), (0, 1)][axis]
+        lo = np.empty(3)
+        hi = np.empty(3)
+        lo[axis] = hi[axis] = q[4]
+        lo[ia], hi[ia] = q[0], q[1]
+        lo[ib], hi[ib] = q[2], q[3]
+    elif p.ptype == S.PRIM_VOLUME_BOX:
+        lo, hi = q[0:3], q[3:6]
+    else:  # pragma: no cover
+        raise ValueError(p.ptype)
+    if p.transform is not None:
+        xs = [lo[0], hi[0]]
+        ys = [lo[1], hi[1]]
+        zs = [lo[2], hi[2]]
+        pts = np.array([(x, y, z, 1.0) for x in xs for y in ys for z in zs])
+        world = (p.transform @ pts.T).T[:, :3]
+        lo, hi = world.min(axis=0), world.max(axis=0)
+    eps = 1e-3 + 1e-5 * np.maximum(np.abs(lo), np.abs(hi))
+    return (lo - eps).astype(np.float32), (hi + eps).astype(np.float32)
+
+
 # --------------------------------------------------------------------------
 # Builder
 # --------------------------------------------------------------------------
@@ -277,7 +310,34 @@ class SceneBuilder:
             else:
                 groups.append((k, [i]))
 
+        # Morton-order primitives inside each group so fixed-size blocks are
+        # spatially compact: the trace kernels cull whole blocks per ray
+        # tile by AABB, which only pays off if a block's prims are neighbors
+        # in space, not in scene-construction order.
+        def morton(i: int) -> int:
+            lo, hi = _prim_aabb(self._prims[i])
+            c = (lo + hi) * 0.5
+            q = np.clip((c - scene_lo) / scene_ext, 0.0, 1.0)
+            q = (q * 1023.0).astype(np.uint32)
+
+            def spread(x):
+                x = (x | (x << 16)) & 0x030000FF
+                x = (x | (x << 8)) & 0x0300F00F
+                x = (x | (x << 4)) & 0x030C30C3
+                x = (x | (x << 2)) & 0x09249249
+                return x
+
+            return int(spread(q[0]) | (spread(q[1]) << 1)
+                       | (spread(q[2]) << 2))
+
+        all_lo = np.stack([_prim_aabb(p)[0] for p in self._prims])
+        all_hi = np.stack([_prim_aabb(p)[1] for p in self._prims])
+        scene_lo = all_lo.min(axis=0)
+        scene_ext = np.maximum(all_hi.max(axis=0) - scene_lo, 1e-6)
+        groups = [(k, sorted(idxs, key=morton)) for k, idxs in groups]
+
         ptype_arr, params_arr, mat_arr, o2w_arr, w2o_arr, slot_arr = [], [], [], [], [], []
+        aabb_lo, aabb_hi = [], []
         chunk_plan = []
         cursor = 0
         pad_param = np.zeros(S.NUM_PRIM_PARAMS, np.float32)
@@ -303,6 +363,9 @@ class SceneBuilder:
                 o2w_arr.append(m[:3].astype(np.float32))
                 w2o_arr.append(np.linalg.inv(m)[:3].astype(np.float32))
                 slot_arr.append(vol_slots.get(i, -1))
+                lo, hi = _prim_aabb(p)
+                aabb_lo.append(lo)
+                aabb_hi.append(hi)
             for _ in range(size - count):
                 ptype_arr.append(ptype)
                 params_arr.append(pad_param)
@@ -310,7 +373,24 @@ class SceneBuilder:
                 o2w_arr.append(S.IDENTITY_3X4)
                 w2o_arr.append(S.IDENTITY_3X4)
                 slot_arr.append(-1)
+                aabb_lo.append(np.full(3, np.inf, np.float32))
+                aabb_hi.append(np.full(3, -np.inf, np.float32))
             cursor += size
+
+        # per-block world AABBs in the trace kernels' block enumeration order
+        lo_np = np.stack(aabb_lo)
+        hi_np = np.stack(aabb_hi)
+        blocks = []
+        for (start, count, size, ptype, axis, has_xform, block) in chunk_plan:
+            for b0 in range(start, start + size, block):
+                b1 = min(b0 + block, start + size)
+                blo = lo_np[b0:b1].min(axis=0)
+                bhi = hi_np[b0:b1].max(axis=0)
+                row = np.zeros(8, np.float32)
+                row[0:3] = blo
+                row[3:6] = bhi
+                blocks.append(row)
+        block_aabbs = np.stack(blocks) if blocks else np.zeros((1, 8), np.float32)
 
         # flattened per-prim shading record (see Primitives docstring)
         mat_np = np.array(mat_arr, np.int32)
@@ -414,5 +494,6 @@ class SceneBuilder:
             mat_present=mat_present,
             tex_present=tex_present,
             vol_slots_static=tuple(slot_arr),
+            block_aabbs=jnp.asarray(block_aabbs),
         )
         return scene

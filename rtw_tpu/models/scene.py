@@ -245,6 +245,10 @@ class Scene:
     lights: Lights
     camera: Camera
     sky_light: Any      # float32 scalar (0.0 or 1.0)
+    # [n_blocks, 8] world AABBs (min xyz, max xyz, pad) of each primitive
+    # block in the trace kernels' enumeration order — the kernels slab-test a
+    # ray tile against these and skip whole blocks no ray in the tile can hit
+    block_aabbs: Any
     n_vol: int          # static: number of volume primitives
     # static chunk plan for the intersection sweep: tuple of
     # (start, count, padded_size, prim_type, rect_axis, has_transform)
@@ -271,7 +275,8 @@ class Scene:
 # the jitted program); everything else is traced leaves.
 def _scene_flatten(s: Scene):
     return (
-        (s.prims, s.materials, s.textures, s.lights, s.camera, s.sky_light),
+        (s.prims, s.materials, s.textures, s.lights, s.camera, s.sky_light,
+         s.block_aabbs),
         (s.n_vol, s.chunk_plan, s.num_lights, s.light_tex, s.mat_present,
          s.tex_present, s.vol_slots_static),
     )

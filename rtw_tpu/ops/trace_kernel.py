@@ -125,72 +125,117 @@ def _sphere_uv_poly(nrm: Vec3):
     return u, v
 
 
+def _block_test(props_ref, vu_ref, vol_slots, entry, b0, o, d, tmin, tmax,
+                time):
+    """t-matrix [C, TILE] for one primitive block, read from VMEM refs."""
+    start, count, size, ptype, axis, has_xform, block = entry
+    C = min(block, start + size - b0)
+    params = props_ref[b0:b0 + C, 0:9]
+    # pad mask computed in-kernel (captured np constants are not
+    # allowed as implicit pallas inputs)
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+             + (b0 - start)) < count
+
+    if has_xform:
+        w2o_cols = [[props_ref[b0:b0 + C, _W2O + i * 4 + j][:, None]
+                     for j in range(4)] for i in range(3)]
+        oo = V.affine_point(w2o_cols, o)
+        dd = V.affine_vec(w2o_cols, d)
+    else:
+        oo, dd = o, d
+
+    if ptype == S.PRIM_SPHERE:
+        t = I.sphere_t(params, oo, dd, tmin, tmax)
+    elif ptype == S.PRIM_MOVING_SPHERE:
+        t = I.moving_sphere_t(params, oo, dd, tmin, tmax, time)
+    elif ptype == S.PRIM_RECT:
+        t = I.rect_t(params, oo, dd, tmin, tmax, axis)
+    elif ptype in (S.PRIM_VOLUME_SPHERE, S.PRIM_VOLUME_BOX):
+        u = jnp.stack([vu_ref[max(vol_slots[i], 0), :]
+                       for i in range(b0, b0 + C)])
+        fn = (I.volume_sphere_t if ptype == S.PRIM_VOLUME_SPHERE
+              else I.volume_box_t)
+        t = fn(params, oo, dd, tmin, tmax, u)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown prim type {ptype}")
+
+    return jnp.where(valid, t, BIG), C
+
+
+def _block_active(aabb_ref, blk_id, o, d, tmin, tmax, best_t):
+    """Per-lane 'this block could improve this ray' mask from the block's
+    world AABB (slab test; t in units of |d| like everything else)."""
+    near = jnp.full_like(o.x, -BIG)
+    far = jnp.full_like(o.x, BIG)
+    for ax in range(3):
+        lo = aabb_ref[blk_id, ax]
+        hi = aabb_ref[blk_id, 3 + ax]
+        dk = d[ax]
+        inv = 1.0 / jnp.where(dk == 0.0, 1e-30, dk)
+        t0 = (lo - o[ax]) * inv
+        t1 = (hi - o[ax]) * inv
+        near = jnp.maximum(near, jnp.minimum(t0, t1))
+        far = jnp.minimum(far, jnp.maximum(t0, t1))
+    return (far >= jnp.maximum(near, tmin)) & (near < tmax) & (near < best_t)
+
+
 def _kernel_body(chunk_plan, vol_slots, any_xform, n_vol, tmin,
-                 rays_ref, vu_ref, props_ref, of_ref, oi_ref):
-    """One ray tile against the whole scene."""
+                 rays_ref, vu_ref, props_ref, aabb_ref, of_ref, oi_ref,
+                 bt_ref, bi_ref, bp_ref):
+    """One ray tile against the whole scene.
+
+    Carries (best t / prim / props) live in VMEM scratch so whole primitive
+    blocks can be skipped with @pl.when when no ray in the tile can hit
+    their AABB — the tile-level analog of BVH early-out, exploiting the
+    coherence of primary and shadow wavefronts."""
     o = Vec3(rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
     d = Vec3(rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
     time = rays_ref[6, :]
     tmax = rays_ref[7, :]
     n = o.x.shape[0]
 
-    best_t = jnp.full((n,), BIG, jnp.float32)
-    best_i = jnp.full((n,), -1, jnp.int32)
-    K = props_ref.shape[1]
-    best_props = jnp.zeros((K, n), jnp.float32)
+    bt_ref[:, :] = jnp.full((1, n), BIG, jnp.float32)
+    bi_ref[:, :] = jnp.full((1, n), -1, jnp.int32)
+    bp_ref[:, :] = jnp.zeros_like(bp_ref)
 
-    for (start, count, size, ptype, axis, has_xform, block) in chunk_plan:
+    blk_id = 0
+    for entry in chunk_plan:
+        start, count, size, ptype, axis, has_xform, block = entry
         for b0 in range(start, start + size, block):
-            C = min(block, start + size - b0)
-            params = props_ref[b0:b0 + C, 0:9]
-            # pad mask computed in-kernel (captured np constants are not
-            # allowed as implicit pallas inputs)
-            valid = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
-                     + (b0 - start)) < count
+            bid = blk_id
+            blk_id += 1
+            active = _block_active(aabb_ref, bid, o, d, tmin, tmax,
+                                   bt_ref[0, :])
 
-            if has_xform:
-                w2o_cols = [[props_ref[b0:b0 + C, _W2O + i * 4 + j][:, None]
-                             for j in range(4)] for i in range(3)]
-                oo = V.affine_point(w2o_cols, o)
-                dd = V.affine_vec(w2o_cols, d)
-            else:
-                oo, dd = o, d
+            @pl.when(jnp.any(active))
+            def _(entry=entry, b0=b0):
+                t, C = _block_test(props_ref, vu_ref, vol_slots, entry, b0,
+                                   o, d, tmin, tmax, time)
+                c_t = jnp.min(t, axis=0)
+                c_arg = jnp.argmin(t, axis=0).astype(jnp.int32)
+                best_t = bt_ref[0, :]
+                better = c_t < best_t
 
-            if ptype == S.PRIM_SPHERE:
-                t = I.sphere_t(params, oo, dd, tmin, tmax)
-            elif ptype == S.PRIM_MOVING_SPHERE:
-                t = I.moving_sphere_t(params, oo, dd, tmin, tmax, time)
-            elif ptype == S.PRIM_RECT:
-                t = I.rect_t(params, oo, dd, tmin, tmax, axis)
-            elif ptype in (S.PRIM_VOLUME_SPHERE, S.PRIM_VOLUME_BOX):
-                u = jnp.stack([vu_ref[max(vol_slots[i], 0), :]
-                               for i in range(b0, b0 + C)])
-                fn = (I.volume_sphere_t if ptype == S.PRIM_VOLUME_SPHERE
-                      else I.volume_box_t)
-                t = fn(params, oo, dd, tmin, tmax, u)
-            else:  # pragma: no cover
-                raise ValueError(f"unknown prim type {ptype}")
+                # winner props via one-hot matmul (an exact gather on the
+                # MXU).  HIGHEST precision: the default TPU matmul truncates
+                # fp32 inputs to bf16, corrupting gathered geometry; the
+                # multi-pass f32 emulation recovers full precision.
+                onehot = (jax.lax.broadcasted_iota(jnp.int32, (C, n), 0)
+                          == c_arg[None, :]).astype(jnp.float32)
+                blk_props = jax.lax.dot_general(
+                    props_ref[b0:b0 + C, :], onehot,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)      # [K, n]
 
-            t = jnp.where(valid, t, BIG)
-            c_t = jnp.min(t, axis=0)
-            c_arg = jnp.argmin(t, axis=0).astype(jnp.int32)
-            better = c_t < best_t
+                bt_ref[0, :] = jnp.where(better, c_t, best_t)
+                bi_ref[0, :] = jnp.where(better, b0 + c_arg, bi_ref[0, :])
+                bp_ref[:, :] = jnp.where(better[None, :], blk_props,
+                                         bp_ref[:, :])
 
-            # winner props via one-hot matmul (exact fp32 gather on the MXU)
-            onehot = (jax.lax.broadcasted_iota(jnp.int32, (C, n), 0)
-                      == c_arg[None, :]).astype(jnp.float32)
-            # HIGHEST precision: the default TPU matmul truncates fp32
-            # inputs to bf16, corrupting gathered geometry; the 6-pass f32
-            # emulation recovers full precision (one-hot weights are exact)
-            blk_props = jax.lax.dot_general(
-                props_ref[b0:b0 + C, :], onehot,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)      # [K, n]
-
-            best_t = jnp.where(better, c_t, best_t)
-            best_i = jnp.where(better, b0 + c_arg, best_i)
-            best_props = jnp.where(better[None, :], blk_props, best_props)
+    best_t = bt_ref[0, :]
+    best_i = bi_ref[0, :]
+    best_props = bp_ref[:, :]
 
     # ---- payload for the global winner (statically typed per group) ------
     hit_mask = best_i >= 0
@@ -265,6 +310,7 @@ def _make_tracer(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles, kdim):
             pl.BlockSpec((max(n_vol, 1), TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # props, whole table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # block AABBs
         ],
         out_specs=(
             pl.BlockSpec((_NF32, TILE), lambda i: (0, i),
@@ -272,16 +318,21 @@ def _make_tracer(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles, kdim):
             pl.BlockSpec((_NI32, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((1, TILE), jnp.float32),     # best t
+            pltpu.VMEM((1, TILE), jnp.int32),       # best prim
+            pltpu.VMEM((kdim, TILE), jnp.float32),  # best props
+        ],
     )
 
-    def run(rays, vol_u, props):
+    def run(rays, vol_u, props, aabbs):
         n = rays.shape[1]
         return pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=(jax.ShapeDtypeStruct((_NF32, n), jnp.float32),
                        jax.ShapeDtypeStruct((_NI32, n), jnp.int32)),
-        )(rays, vol_u, props)
+        )(rays, vol_u, props, aabbs)
 
     return run
 
@@ -311,7 +362,7 @@ def trace_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time, vol_u):
 
     run = _make_tracer(scene.chunk_plan, scene.vol_slots_static, scene.n_vol,
                        float(tmin), any_xform, n_pad // TILE, props.shape[1])
-    f32, i32 = run(rays, vu, props)
+    f32, i32 = run(rays, vu, props, scene.block_aabbs)
     f32 = f32[:, :n]
     i32 = i32[:, :n]
 
@@ -338,45 +389,33 @@ def trace_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time, vol_u):
 # ---------------------------------------------------------------------------
 
 def _occl_body(chunk_plan, vol_slots, n_vol, tmin, rays_ref, vu_ref,
-               props_ref, out_ref):
+               props_ref, aabb_ref, out_ref):
+    """Any-hit sweep; blocks whose AABB no still-unoccluded ray in the tile
+    can reach are skipped (which also early-exits once the whole tile is
+    occluded)."""
     o = Vec3(rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
     d = Vec3(rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
     time = rays_ref[6, :]
     tmax = rays_ref[7, :]
     n = o.x.shape[0]
-    occ = jnp.zeros((n,), jnp.float32)
+    out_ref[:, :] = jnp.zeros((1, n), jnp.float32)
 
-    for (start, count, size, ptype, axis, has_xform, block) in chunk_plan:
+    blk_id = 0
+    for entry in chunk_plan:
+        start, count, size, ptype, axis, has_xform, block = entry
         for b0 in range(start, start + size, block):
-            C = min(block, start + size - b0)
-            params = props_ref[b0:b0 + C, 0:9]
-            # pad mask computed in-kernel (captured np constants are not
-            # allowed as implicit pallas inputs)
-            valid = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
-                     + (b0 - start)) < count
-            if has_xform:
-                w2o_cols = [[props_ref[b0:b0 + C, _W2O + i * 4 + j][:, None]
-                             for j in range(4)] for i in range(3)]
-                oo = V.affine_point(w2o_cols, o)
-                dd = V.affine_vec(w2o_cols, d)
-            else:
-                oo, dd = o, d
-            if ptype == S.PRIM_SPHERE:
-                t = I.sphere_t(params, oo, dd, tmin, tmax)
-            elif ptype == S.PRIM_MOVING_SPHERE:
-                t = I.moving_sphere_t(params, oo, dd, tmin, tmax, time)
-            elif ptype == S.PRIM_RECT:
-                t = I.rect_t(params, oo, dd, tmin, tmax, axis)
-            else:
-                u = jnp.stack([vu_ref[max(vol_slots[i], 0), :]
-                               for i in range(b0, b0 + C)])
-                fn = (I.volume_sphere_t if ptype == S.PRIM_VOLUME_SPHERE
-                      else I.volume_box_t)
-                t = fn(params, oo, dd, tmin, tmax, u)
-            t = jnp.where(valid, t, BIG)
-            occ = jnp.maximum(occ, jnp.max((t < BIG).astype(jnp.float32),
-                                           axis=0))
-    out_ref[:, :] = occ[None, :]
+            bid = blk_id
+            blk_id += 1
+            unocc = out_ref[0, :] < 0.5
+            active = unocc & _block_active(aabb_ref, bid, o, d, tmin, tmax,
+                                           jnp.full((n,), BIG, jnp.float32))
+
+            @pl.when(jnp.any(active))
+            def _(entry=entry, b0=b0):
+                t, _C = _block_test(props_ref, vu_ref, vol_slots, entry, b0,
+                                    o, d, tmin, tmax, time)
+                hit_any = jnp.max((t < BIG).astype(jnp.float32), axis=0)
+                out_ref[0, :] = jnp.maximum(out_ref[0, :], hit_any)
 
 
 @functools.lru_cache(maxsize=64)
@@ -389,18 +428,19 @@ def _make_occluder(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles):
             pl.BlockSpec((max(n_vol, 1), TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # block AABBs
         ],
         out_specs=pl.BlockSpec((1, TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
     )
 
-    def run(rays, vol_u, props):
+    def run(rays, vol_u, props, aabbs):
         n = rays.shape[1]
         return pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
-        )(rays, vol_u, props)
+        )(rays, vol_u, props, aabbs)
 
     return run
 
@@ -417,5 +457,5 @@ def occluded_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time,
     props = build_props(scene, any_xform)
     run = _make_occluder(scene.chunk_plan, scene.vol_slots_static,
                          scene.n_vol, float(tmin), any_xform, n_pad // TILE)
-    occ = run(rays, vu, props)
+    occ = run(rays, vu, props, scene.block_aabbs)
     return occ[0, :n] > 0.5
