@@ -13,7 +13,6 @@ Run: python -m rtw_tpu.cli -s 0 -dx 600 -dy 600 -ns 1000 -o cornell.png
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 
@@ -64,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's OptiX LDR denoiser; non-parity)")
     p.add_argument("--metrics-json", default=None,
                    help="write render metrics JSON next to the image")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the render into "
+                        "this directory (view with TensorBoard/Perfetto)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     return p
 
@@ -100,17 +102,25 @@ def main(argv=None) -> int:
         print(f"INFO: {nx}x{ny}, {ns} spp, scene {args.scene}: "
               f"{SCENE_NAMES[args.scene]}", file=sys.stderr)
 
-    t0 = time.time()
-    scene = build_scene(args.scene, nx, ny, dof=args.dof)
-    metrics: dict = {}
-    if args.sharded:
-        from rtw_tpu.parallel.mesh import make_mesh, render_sharded
+    import contextlib
 
-        img = render_sharded(scene, cfg, make_mesh())
-    else:
-        img = render(scene, cfg, verbose=args.verbose, metrics=metrics,
-                     checkpoint_path=args.checkpoint,
-                     checkpoint_every=args.checkpoint_every)
+    from rtw_tpu.utils.profiling import Phases, trace, write_metrics
+
+    phases = Phases()
+    prof = trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
+    t0 = time.time()
+    with phases("scene_build"):
+        scene = build_scene(args.scene, nx, ny, dof=args.dof)
+    metrics: dict = {}
+    with prof, phases("render"):
+        if args.sharded:
+            from rtw_tpu.parallel.mesh import make_mesh, render_sharded
+
+            img = render_sharded(scene, cfg, make_mesh())
+        else:
+            img = render(scene, cfg, verbose=args.verbose, metrics=metrics,
+                         checkpoint_path=args.checkpoint,
+                         checkpoint_every=args.checkpoint_every)
     elapsed = time.time() - t0
     if args.verbose:
         print(f"INFO: Took {elapsed:.1f} seconds", file=sys.stderr)
@@ -124,8 +134,7 @@ def main(argv=None) -> int:
         out8 = to_srgb8(img, cfg.gamma)
     write_image(out8, args.output)
     if args.metrics_json:
-        with open(args.metrics_json, "w") as f:
-            json.dump(metrics, f, indent=2)
+        write_metrics(args.metrics_json, metrics, phases)
     return 0
 
 

@@ -439,10 +439,9 @@ class SceneBuilder:
                 h, w = im.shape[0], im.shape[1]
                 dims[i] = (h, w)
                 offsets[i] = cur
-                packed = (im[..., 0].astype(np.uint32)
-                          | (im[..., 1].astype(np.uint32) << 8)
-                          | (im[..., 2].astype(np.uint32) << 16))
-                chunks.append(packed.reshape(-1))
+                from rtw_tpu.utils.native import pack_rgb8
+
+                chunks.append(pack_rgb8(im).reshape(-1))
                 cur += h * w
             atlas = np.concatenate(chunks)
         else:

@@ -117,10 +117,11 @@ def render(scene, cfg, key=None, verbose: bool = False,
 
 def to_srgb8(linear_img, gamma: float = 2.0):
     """Clamp + gamma -> uint8, top row first (printPPM writes bottom-up from
-    a bottom-origin buffer, Director.cpp:1014-1029 — same final orientation)."""
-    img = np.asarray(linear_img)
-    img = np.clip(img, 0.0, 1.0) ** (1.0 / gamma)
-    img = (img * 255.99).astype(np.uint8)
+    a bottom-origin buffer, Director.cpp:1014-1029 — same final orientation).
+    Quantization runs in the native C++ module when available."""
+    from rtw_tpu.utils.native import srgb_encode
+
+    img = srgb_encode(np.asarray(linear_img), gamma)
     return img[::-1]  # flip to top-row-first image convention
 
 
