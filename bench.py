@@ -23,8 +23,10 @@ MRAYS_BASELINE = 0.28
 
 BENCH_NX = 800
 BENCH_NY = 800
-BENCH_SPP = 64          # scaled-down Cornell workload; same per-ray work as
-                        # the 1000-spp target, statistically identical rays/s
+BENCH_SPP = 256         # scaled-down Cornell workload; same per-ray work as
+                        # the 1000-spp target (measured within 3% of it: the
+                        # regenerating wavefront's drain tail amortizes by
+                        # ~256 spp; 64->1000 spp is 109->118 Mrays/s)
 BENCH_DEPTH = 20
 
 

@@ -29,7 +29,6 @@ from rtw_tpu.models import scene as S
 from rtw_tpu.ops import vec as V
 from rtw_tpu.ops.intersect import intersect_scene
 from rtw_tpu.ops.textures import eval_texture
-from rtw_tpu.utils import rng as R
 
 # 5-tap B3-spline: the à-trous generating kernel
 _B3 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0

@@ -25,7 +25,6 @@ parameter drives both estimator halves.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import numpy as np
 import jax
@@ -34,7 +33,6 @@ from jax import lax
 
 from rtw_tpu.models import scene as S
 from rtw_tpu.integrator import trace_paths
-from rtw_tpu.utils import rng as R
 
 
 def extract_params(scene: S.Scene) -> dict:

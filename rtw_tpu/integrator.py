@@ -40,7 +40,7 @@ from rtw_tpu.models import scene as S
 from rtw_tpu.ops import sampling as sm
 from rtw_tpu.ops import vec as V
 from rtw_tpu.ops.vec import Vec3
-from rtw_tpu.ops.intersect import intersect_scene, occluded, BIG
+from rtw_tpu.ops.intersect import intersect_scene, occluded
 from rtw_tpu.ops.shading import gather_shade, resolve_albedo
 from rtw_tpu.utils import rng as R
 

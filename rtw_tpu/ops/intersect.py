@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from rtw_tpu.models import scene as S
-from rtw_tpu.ops.vec import Vec3, v3, where as wherev
+from rtw_tpu.ops.vec import Vec3, where as wherev
 from rtw_tpu.ops.sampling import safe_sqrt
 
 BIG = np.float32(1e30)

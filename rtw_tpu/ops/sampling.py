@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from rtw_tpu.ops.vec import Vec3, where as wherev
+from rtw_tpu.ops.vec import Vec3
 
 PI = np.float32(np.pi)
 INV_PI = np.float32(1.0 / np.pi)
