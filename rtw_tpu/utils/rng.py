@@ -86,9 +86,16 @@ def _is_threefry(path_keys) -> bool:
 
 
 def pixel_sample_keys(key: jax.Array, pixel_idx: jax.Array, sample_idx) -> jax.Array:
-    """Threefry key for each (pixel, sample) path. pixel_idx: int32 [N]."""
-    k = jax.random.fold_in(key, sample_idx)
-    return jax.vmap(lambda p: jax.random.fold_in(k, p))(pixel_idx)
+    """Threefry key for each (pixel, sample) path. pixel_idx: int32 [N];
+    sample_idx: scalar or per-lane [N] (the regenerating wavefront advances
+    each lane's sample cursor independently)."""
+    if jnp.ndim(jnp.asarray(sample_idx)) == 0:
+        k = jax.random.fold_in(key, sample_idx)
+        return jax.vmap(lambda p: jax.random.fold_in(k, p))(pixel_idx)
+    s = jnp.broadcast_to(jnp.asarray(sample_idx), pixel_idx.shape)
+    return jax.vmap(
+        lambda p, ss: jax.random.fold_in(jax.random.fold_in(key, ss), p)
+    )(pixel_idx, s)
 
 
 def make_path_keys(key, pixel_idx, sample_idx, impl: str = "fast"):

@@ -84,3 +84,41 @@ def test_power_heuristic():
     # raydata.cuh:167-171
     assert abs(float(sm.power_heuristic(jnp.float32(1.0), jnp.float32(1.0))) - 0.5) < 1e-6
     assert float(sm.power_heuristic(jnp.float32(10.0), jnp.float32(0.1))) > 0.99
+
+
+def test_pcg_uniforms_quality():
+    """The fast RNG's uniforms must be uniform and decorrelated across
+    slots/bounces/pixels (coarse chi-square + correlation checks)."""
+    import jax
+    from rtw_tpu.utils import rng as R
+
+    key = R.base_key(0)
+    n = 100_000
+    pix = jnp.arange(n, dtype=jnp.int32)
+    pk = R.make_path_keys(key, pix, 3, "fast")
+    u = np.asarray(R.bounce_uniforms(pk, 5, 8))          # [8, n]
+    assert u.min() >= 0.0 and u.max() < 1.0
+    # per-slot uniformity: 32-bin chi-square, 3.9-sigma bound
+    for k in range(8):
+        counts, _ = np.histogram(u[k], bins=32, range=(0, 1))
+        chi2 = ((counts - n / 32) ** 2 / (n / 32)).sum()
+        assert chi2 < 32 + 3.9 * np.sqrt(2 * 31), chi2
+    # cross-slot / cross-bounce / cross-pixel decorrelation
+    u2 = np.asarray(R.bounce_uniforms(pk, 6, 8))
+    for a, b in [(u[0], u[1]), (u[3], u[7]), (u[0], u2[0]),
+                 (u[0][:-1], u[0][1:])]:
+        r = np.corrcoef(a, b)[0, 1]
+        assert abs(r) < 0.02, r
+
+
+def test_rng_threefry_and_fast_both_render():
+    """Both RNG implementations drive a correct estimator (means agree)."""
+    import rtw_tpu as rt
+
+    means = []
+    for impl in ("fast", "threefry"):
+        cfg = rt.RenderConfig(nx=32, ny=24, spp=64, max_depth=8, scene_id=5,
+                              rng=impl)
+        img = np.asarray(rt.render(rt.build_scene(5, cfg.nx, cfg.ny), cfg))
+        means.append(img.mean())
+    assert abs(means[0] - means[1]) / means[1] < 0.02, means
