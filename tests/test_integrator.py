@@ -134,3 +134,22 @@ def test_nan_free_all_scenes():
         scene = rt.build_scene(sid, cfg.nx, cfg.ny)
         img = np.asarray(rt.render(scene, cfg))
         assert np.isfinite(img).all(), f"scene {sid} produced non-finite"
+
+
+def test_mis_unbiased_vs_bsdf_only():
+    """NEE + power-heuristic MIS must estimate the same image as brute-force
+    BSDF-only path tracing (SURVEY §4 tier 2: MIS estimator unbiasedness on
+    the Cornell light).  BSDF-only is obtained by deregistering the light
+    from NEE (num_lights=0; emission still collected on BSDF hits, and
+    sky_light stays off because it is a scene leaf, not derived)."""
+    import dataclasses
+
+    scene = rt.build_scene(0, 24, 24)
+    assert float(scene.sky_light) == 0.0
+    mis_cfg = rt.RenderConfig(nx=24, ny=24, spp=400, max_depth=12, seed=7)
+    mis = _render_mean(scene, mis_cfg).mean()
+
+    bsdf_scene = dataclasses.replace(scene, num_lights=0)
+    bsdf_cfg = rt.RenderConfig(nx=24, ny=24, spp=6000, max_depth=12, seed=8)
+    bsdf = _render_mean(bsdf_scene, bsdf_cfg).mean()
+    assert abs(mis - bsdf) / bsdf < 0.04, (mis, bsdf)
