@@ -116,7 +116,10 @@ def main(argv=None) -> int:
         if args.sharded:
             from rtw_tpu.parallel.mesh import make_mesh, render_sharded
 
-            img = render_sharded(scene, cfg, make_mesh())
+            img = render_sharded(scene, cfg, make_mesh(), metrics=metrics,
+                                 verbose=args.verbose,
+                                 checkpoint_path=args.checkpoint,
+                                 checkpoint_every=args.checkpoint_every)
         else:
             img = render(scene, cfg, verbose=args.verbose, metrics=metrics,
                          checkpoint_path=args.checkpoint,

@@ -146,7 +146,18 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     o, d = state.origin, state.direction
     ray_count = state.ray_count + jnp.sum(state.alive.astype(jnp.float32))
     use_pallas = _pallas_backend(cfg, scene)
-    if use_pallas:
+    # fused trace+NEE kernel: one launch per bounce instead of trace +
+    # occlusion (single-light scenes; lambertian is the only NEE emitter)
+    use_fused = (use_pallas and cfg.fuse_nee and scene.num_lights == 1
+                 and scene.mat_present[S.MAT_LAMBERTIAN])
+    shadowed_fused = None
+    if use_fused:
+        from rtw_tpu.ops.trace_kernel import trace_nee_pallas
+
+        hit, shade, shadowed_fused = trace_nee_pallas(
+            scene, o, d, cfg.t_min, cfg.t_max, state.time, vol_u, occ_u,
+            U[R.U_LIGHT_A], U[R.U_LIGHT_B], cfg.shadow_eps)
+    elif use_pallas:
         from rtw_tpu.ops.trace_kernel import trace_pallas
 
         hit, shade = trace_pallas(scene, o, d, cfg.t_min, cfg.t_max,
@@ -175,7 +186,8 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     # the reference's per-scene SBT carrying only reachable program groups).
     mp = scene.mat_present
     mat_type = shade.mat_type
-    albedo = resolve_albedo(scene, shade, hit.point, hit.u, hit.v)
+    albedo = resolve_albedo(scene, shade, hit.point, hit.u, hit.v,
+                            cfg.tex_filter)
     nrm = hit.normal
     n = hit.t.shape[0]
     false_n = jnp.zeros((n,), bool)
@@ -305,7 +317,9 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
         # relative end margin: the absolute 5e-5 of the reference
         # (closehit.cu:100) is smaller than fp32 error at scene scale and
         # than the acne offset above, making the light occlude itself
-        if use_pallas:
+        if shadowed_fused is not None:
+            shadowed = shadowed_fused
+        elif use_pallas:
             from rtw_tpu.ops.trace_kernel import occluded_pallas
 
             shadowed = occluded_pallas(scene, shadow_org, ldir_u,

@@ -79,6 +79,18 @@ def _is_rigid(m: np.ndarray) -> bool:
     return bool(np.allclose(r @ r.T, np.eye(3), atol=1e-5))
 
 
+def _pack565_pairs(im: np.ndarray) -> np.ndarray:
+    """uint8 [h, w, 3] -> uint32 [h, w]: RGB565 of texel(x, y) in the low
+    half-word, RGB565 of texel(min(x+1, w-1), y) in the high half-word
+    (clamp addressing baked into the pairing).  See Textures.images_packed565."""
+    r = np.round(im[..., 0].astype(np.float32) / 255.0 * 31).astype(np.uint32)
+    g = np.round(im[..., 1].astype(np.float32) / 255.0 * 63).astype(np.uint32)
+    b = np.round(im[..., 2].astype(np.float32) / 255.0 * 31).astype(np.uint32)
+    v = (r << np.uint32(11)) | (g << np.uint32(5)) | b
+    right = np.concatenate([v[:, 1:], v[:, -1:]], axis=1)
+    return (v | (right << np.uint32(16))).astype(np.uint32)
+
+
 def _prim_aabb(p: "_Prim") -> tuple[np.ndarray, np.ndarray]:
     """Conservative world-space AABB of one primitive (for the trace
     kernels' per-tile block culling).  Object-space bounds are pushed
@@ -434,6 +446,7 @@ class SceneBuilder:
             dims = np.zeros((len(self._images), 2), np.int32)
             offsets = np.zeros(len(self._images), np.int32)
             chunks = []
+            chunks565 = []
             cur = 0
             for i, im in enumerate(self._images):
                 h, w = im.shape[0], im.shape[1]
@@ -442,10 +455,13 @@ class SceneBuilder:
                 from rtw_tpu.utils.native import pack_rgb8
 
                 chunks.append(pack_rgb8(im).reshape(-1))
+                chunks565.append(_pack565_pairs(im).reshape(-1))
                 cur += h * w
             atlas = np.concatenate(chunks)
+            atlas565 = np.concatenate(chunks565)
         else:
             atlas = np.zeros(1, np.uint32)
+            atlas565 = np.zeros(1, np.uint32)
             offsets = np.zeros(1, np.int32)
             dims = np.ones((1, 2), np.int32)
 
@@ -457,6 +473,7 @@ class SceneBuilder:
             scale=jnp.asarray(np.array([r["scale"] for r in self._tex_rows], np.float32)),
             image_id=jnp.asarray(np.array([r["image_id"] for r in self._tex_rows], np.int32)),
             images_packed=jnp.asarray(atlas),
+            images_packed565=jnp.asarray(atlas565),
             image_offset=jnp.asarray(offsets),
             image_dims=jnp.asarray(dims),
         )

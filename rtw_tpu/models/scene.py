@@ -149,6 +149,12 @@ class Textures:
     # slower on TPU.  True sizes in image_dims [n_images, 2] = (h, w),
     # start indices in image_offset [n_images].
     images_packed: Any  # uint32 [sum(h*w)]
+    # RGB565 pair atlas: texel(x,y) in the low 16 bits, texel(x+1,y)
+    # (clamped) in the high 16.  A bilinear fetch needs only TWO flat
+    # gathers (rows y0 and y1) instead of four — gathers dominate
+    # image-texture cost on TPU (~11.5 ms per 1M lanes each) and the 5/6/5
+    # quantization is a documented ~1.5% color error (QUIRKS.md).
+    images_packed565: Any  # uint32 [sum(h*w)]
     image_offset: Any   # int32 [n_images]
     image_dims: Any     # int32 [n_images, 2]
 

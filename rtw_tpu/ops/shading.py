@@ -11,12 +11,13 @@ texture direct-callable dispatch (texture/*.cu via closehit.cu:64-67).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from rtw_tpu.models import scene as S
 from rtw_tpu.ops import vec as V
 from rtw_tpu.ops.vec import Vec3
 from rtw_tpu.ops.trace_kernel import ShadeRec
-from rtw_tpu.ops.textures import _image_bilinear, turbulence
+from rtw_tpu.ops.textures import _image_bilinear, _image_bilinear_565, turbulence
 
 
 def gather_shade(scene: S.Scene, prim_idx, hit_mask) -> ShadeRec:
@@ -45,7 +46,8 @@ def gather_shade(scene: S.Scene, prim_idx, hit_mask) -> ShadeRec:
     )
 
 
-def resolve_albedo(scene: S.Scene, shade: ShadeRec, p: Vec3, u, v) -> Vec3:
+def resolve_albedo(scene: S.Scene, shade: ShadeRec, p: Vec3, u, v,
+                   tex_filter: str = "rgb565") -> Vec3:
     """Final albedo from the shading record + procedural texture kinds.
 
     Static `scene.tex_present` flags keep unreachable texture code out of
@@ -60,14 +62,33 @@ def resolve_albedo(scene: S.Scene, shade: ShadeRec, p: Vec3, u, v) -> Vec3:
         checker = V.where(sines < 0.0, shade.odd, shade.even)
         albedo = V.where(shade.tex_type == S.TEX_CHECKER, checker, albedo)
 
+    # Noise and image evaluation run lockstep for EVERY lane (7-octave hash
+    # turbulence ~300 VPU ops; a bilinear fetch is 4 flat gathers ~46 ms per
+    # 1M lanes) — but only the small fraction of lanes that hit the marble /
+    # earth spheres consume them.  lax.cond skips the whole block on bounces
+    # where no lane needs it (deep bounces, shadow-dominated wavefronts),
+    # the wavefront analog of OptiX only running the callables SBT records
+    # reference (texture/*.cu dispatch).
     if present[S.TEX_NOISE]:
-        m = 0.5 * (1.0 + jnp.sin(shade.scale * p.z
-                                 + 5.0 * turbulence(scene.textures,
-                                                    p * shade.scale)))
-        albedo = V.where(shade.tex_type == S.TEX_NOISE, Vec3(m, m, m), albedo)
+        need = shade.tex_type == S.TEX_NOISE
+
+        def _with_noise(albedo):
+            m = 0.5 * (1.0 + jnp.sin(shade.scale * p.z
+                                     + 5.0 * turbulence(scene.textures,
+                                                        p * shade.scale)))
+            return V.where(need, Vec3(m, m, m), albedo)
+
+        albedo = lax.cond(jnp.any(need), _with_noise, lambda a: a, albedo)
 
     if present[S.TEX_IMAGE]:
-        img = _image_bilinear(scene.textures, shade.image_id, u, v)
-        albedo = V.where(shade.tex_type == S.TEX_IMAGE, img, albedo)
+        need = shade.tex_type == S.TEX_IMAGE
+        fetch = (_image_bilinear_565 if tex_filter == "rgb565"
+                 else _image_bilinear)
+
+        def _with_image(albedo):
+            img = fetch(scene.textures, shade.image_id, u, v)
+            return V.where(need, img, albedo)
+
+        albedo = lax.cond(jnp.any(need), _with_image, lambda a: a, albedo)
 
     return albedo

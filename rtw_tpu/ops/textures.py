@@ -129,6 +129,48 @@ def _image_bilinear(tex: S.Textures, image_id, u, v) -> Vec3:
     return cx0 + (cx1 - cx0) * fy
 
 
+def _image_bilinear_565(tex: S.Textures, image_id, u, v) -> Vec3:
+    """Bilinear fetch from the RGB565 pair atlas: TWO flat gathers (rows y0
+    and y1; each pair word carries texels x0 and x0+1) instead of the four
+    of `_image_bilinear`.  ~1.5% color quantization (5/6/5 bits), the
+    documented trade for halving the dominant gather cost (QUIRKS.md)."""
+    h_i = tex.image_dims[:, 0][image_id]
+    w_i = tex.image_dims[:, 1][image_id]
+    off = tex.image_offset[image_id]
+    h = h_i.astype(jnp.float32)
+    w = w_i.astype(jnp.float32)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    # clamp addressing: left of column 0 both taps are texel 0 (the pair
+    # word at x=0 holds texels 0 and 1, so zero the blend weight instead)
+    fx = jnp.where(x0 < 0.0, 0.0, x - x0)
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w_i - 1)
+    y0i = y0.astype(jnp.int32)
+
+    inv31 = np.float32(1.0 / 31.0)
+    inv63 = np.float32(1.0 / 63.0)
+
+    def fetch_pair(yi):
+        yi = jnp.clip(yi, 0, h_i - 1)
+        bits = tex.images_packed565[off + yi * w_i + x0i]  # one 1-D gather
+        def unpack(half):
+            return Vec3(
+                ((half >> np.uint32(11)) & np.uint32(31)).astype(jnp.float32) * inv31,
+                ((half >> np.uint32(5)) & np.uint32(63)).astype(jnp.float32) * inv63,
+                (half & np.uint32(31)).astype(jnp.float32) * inv31,
+            )
+        return unpack(bits & np.uint32(0xFFFF)), unpack(bits >> np.uint32(16))
+
+    c00, c10 = fetch_pair(y0i)
+    c01, c11 = fetch_pair(y0i + 1)
+    cx0 = c00 + (c10 - c00) * fx
+    cx1 = c01 + (c11 - c01) * fx
+    return cx0 + (cx1 - cx0) * fy
+
+
 def _eval_leaf(tex: S.Textures, tex_id, u, v, p: Vec3, present) -> Vec3:
     """Evaluate non-checker textures for per-lane ids. [N] -> Vec3 of [N].
 

@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from rtw_tpu.models import scene as S
 from rtw_tpu.ops import intersect as I
 from rtw_tpu.ops import vec as V
+from rtw_tpu.ops.sampling import offset_point
 from rtw_tpu.ops.vec import Vec3
 
 BIG = I.BIG
@@ -126,8 +127,12 @@ def _sphere_uv_poly(nrm: Vec3):
 
 
 def _block_test(props_ref, vu_ref, vol_slots, entry, b0, o, d, tmin, tmax,
-                time):
-    """t-matrix [C, TILE] for one primitive block, read from VMEM refs."""
+                time, vu_base=0):
+    """t-matrix [C, TILE] for one primitive block, read from VMEM refs.
+
+    `vu_base`: row offset of this sweep's free-flight uniforms inside
+    vu_ref (the fused kernel packs main-ray and shadow-ray draws in one
+    lanes array)."""
     start, count, size, ptype, axis, has_xform, block = entry
     C = min(block, start + size - b0)
     params = props_ref[b0:b0 + C, 0:9]
@@ -151,7 +156,7 @@ def _block_test(props_ref, vu_ref, vol_slots, entry, b0, o, d, tmin, tmax,
     elif ptype == S.PRIM_RECT:
         t = I.rect_t(params, oo, dd, tmin, tmax, axis)
     elif ptype in (S.PRIM_VOLUME_SPHERE, S.PRIM_VOLUME_BOX):
-        u = jnp.stack([vu_ref[max(vol_slots[i], 0), :]
+        u = jnp.stack([vu_ref[vu_base + max(vol_slots[i], 0), :]
                        for i in range(b0, b0 + C)])
         fn = (I.volume_sphere_t if ptype == S.PRIM_VOLUME_SPHERE
               else I.volume_box_t)
@@ -179,19 +184,17 @@ def _block_active(aabb_ref, blk_id, o, d, tmin, tmax, best_t):
     return (far >= jnp.maximum(near, tmin)) & (near < tmax) & (near < best_t)
 
 
-def _kernel_body(chunk_plan, vol_slots, any_xform, n_vol, tmin,
-                 rays_ref, vu_ref, props_ref, aabb_ref, of_ref, oi_ref,
+def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
+                 o, d, time, tmax, vu_ref, vu_base, props_ref, aabb_ref,
                  bt_ref, bi_ref, bp_ref):
-    """One ray tile against the whole scene.
+    """Nearest-hit sweep + winner payload for one in-VMEM ray tile.
 
     Carries (best t / prim / props) live in VMEM scratch so whole primitive
     blocks can be skipped with @pl.when when no ray in the tile can hit
     their AABB — the tile-level analog of BVH early-out, exploiting the
-    coherence of primary and shadow wavefronts."""
-    o = Vec3(rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
-    d = Vec3(rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
-    time = rays_ref[6, :]
-    tmax = rays_ref[7, :]
+    coherence of primary and shadow wavefronts.
+
+    Returns (best_t, best_i, best_props, point, normal, u, v)."""
     n = o.x.shape[0]
 
     bt_ref[:, :] = jnp.full((1, n), BIG, jnp.float32)
@@ -210,7 +213,7 @@ def _kernel_body(chunk_plan, vol_slots, any_xform, n_vol, tmin,
             @pl.when(jnp.any(active))
             def _(entry=entry, b0=b0):
                 t, C = _block_test(props_ref, vu_ref, vol_slots, entry, b0,
-                                   o, d, tmin, tmax, time)
+                                   o, d, tmin, tmax, time, vu_base)
                 c_t = jnp.min(t, axis=0)
                 c_arg = jnp.argmin(t, axis=0).astype(jnp.int32)
                 best_t = bt_ref[0, :]
@@ -273,7 +276,11 @@ def _kernel_body(chunk_plan, vol_slots, any_xform, n_vol, tmin,
         uu = jnp.where(in_group, g_u, uu)
         vv = jnp.where(in_group, g_v, vv)
     normal = normal.normalized()
+    return best_t, best_i, best_props, point, normal, uu, vv
 
+
+def _write_hit(of_ref, oi_ref, best_t, best_i, best_props, point, normal,
+               uu, vv, extra_f32=()):
     f32_rows = [best_t,
                 point.x, point.y, point.z,
                 normal.x, normal.y, normal.z,
@@ -281,13 +288,28 @@ def _kernel_body(chunk_plan, vol_slots, any_xform, n_vol, tmin,
                 best_props[_FUZZ], best_props[_ETA], best_props[_SCALE],
                 best_props[_RGB[0]], best_props[_RGB[1]], best_props[_RGB[2]],
                 best_props[_ODD[0]], best_props[_ODD[1]], best_props[_ODD[2]],
-                best_props[_EVEN[0]], best_props[_EVEN[1]], best_props[_EVEN[2]]]
+                best_props[_EVEN[0]], best_props[_EVEN[1]],
+                best_props[_EVEN[2]]] + list(extra_f32)
     of_ref[:, :] = jnp.stack(f32_rows, axis=0)
     i32_rows = [best_i,
                 best_props[_MAT].astype(jnp.int32),
                 best_props[_TEXT].astype(jnp.int32),
                 best_props[_IMG].astype(jnp.int32)]
     oi_ref[:, :] = jnp.stack(i32_rows, axis=0)
+
+
+def _kernel_body(chunk_plan, vol_slots, any_xform, n_vol, tmin,
+                 rays_ref, vu_ref, props_ref, aabb_ref, of_ref, oi_ref,
+                 bt_ref, bi_ref, bp_ref):
+    """One ray tile against the whole scene (see _nearest_hit)."""
+    o = Vec3(rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
+    d = Vec3(rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
+    time = rays_ref[6, :]
+    tmax = rays_ref[7, :]
+    res = _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
+                       o, d, time, tmax, vu_ref, 0, props_ref, aabb_ref,
+                       bt_ref, bi_ref, bp_ref)
+    _write_hit(of_ref, oi_ref, *res)
 
 
 _NF32 = 21
@@ -363,6 +385,10 @@ def trace_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time, vol_u):
     run = _make_tracer(scene.chunk_plan, scene.vol_slots_static, scene.n_vol,
                        float(tmin), any_xform, n_pad // TILE, props.shape[1])
     f32, i32 = run(rays, vu, props, scene.block_aabbs)
+    return _unpack_hit(f32, i32, n)
+
+
+def _unpack_hit(f32, i32, n):
     f32 = f32[:, :n]
     i32 = i32[:, :n]
 
@@ -388,17 +414,13 @@ def trace_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time, vol_u):
 # Occlusion kernel: boolean any-hit sweep (no payload, no winner tracking)
 # ---------------------------------------------------------------------------
 
-def _occl_body(chunk_plan, vol_slots, n_vol, tmin, rays_ref, vu_ref,
-               props_ref, aabb_ref, out_ref):
-    """Any-hit sweep; blocks whose AABB no still-unoccluded ray in the tile
-    can reach are skipped (which also early-exits once the whole tile is
-    occluded)."""
-    o = Vec3(rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
-    d = Vec3(rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
-    time = rays_ref[6, :]
-    tmax = rays_ref[7, :]
+def _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref,
+                vu_base, props_ref, aabb_ref, occ_ref, want=None):
+    """Any-hit sweep into occ_ref[0, :] (1.0 = occluded); blocks whose AABB
+    no still-unoccluded wanting ray in the tile can reach are skipped (which
+    also early-exits once the whole tile is resolved)."""
     n = o.x.shape[0]
-    out_ref[:, :] = jnp.zeros((1, n), jnp.float32)
+    occ_ref[:, :] = jnp.zeros((1, n), jnp.float32)
 
     blk_id = 0
     for entry in chunk_plan:
@@ -406,16 +428,28 @@ def _occl_body(chunk_plan, vol_slots, n_vol, tmin, rays_ref, vu_ref,
         for b0 in range(start, start + size, block):
             bid = blk_id
             blk_id += 1
-            unocc = out_ref[0, :] < 0.5
-            active = unocc & _block_active(aabb_ref, bid, o, d, tmin, tmax,
-                                           jnp.full((n,), BIG, jnp.float32))
+            pending = occ_ref[0, :] < 0.5
+            if want is not None:
+                pending = pending & want
+            active = pending & _block_active(aabb_ref, bid, o, d, tmin, tmax,
+                                             jnp.full((n,), BIG, jnp.float32))
 
             @pl.when(jnp.any(active))
             def _(entry=entry, b0=b0):
                 t, _C = _block_test(props_ref, vu_ref, vol_slots, entry, b0,
-                                    o, d, tmin, tmax, time)
+                                    o, d, tmin, tmax, time, vu_base)
                 hit_any = jnp.max((t < BIG).astype(jnp.float32), axis=0)
-                out_ref[0, :] = jnp.maximum(out_ref[0, :], hit_any)
+                occ_ref[0, :] = jnp.maximum(occ_ref[0, :], hit_any)
+
+
+def _occl_body(chunk_plan, vol_slots, n_vol, tmin, rays_ref, vu_ref,
+               props_ref, aabb_ref, out_ref):
+    o = Vec3(rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
+    d = Vec3(rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
+    time = rays_ref[6, :]
+    tmax = rays_ref[7, :]
+    _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref, 0,
+                props_ref, aabb_ref, out_ref)
 
 
 @functools.lru_cache(maxsize=64)
@@ -459,3 +493,132 @@ def occluded_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time,
                          scene.n_vol, float(tmin), any_xform, n_pad // TILE)
     occ = run(rays, vu, props, scene.block_aabbs)
     return occ[0, :n] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# Fused trace + NEE shadow kernel: one launch per bounce instead of two.
+#
+# The nearest-hit sweep and the NEE occlusion sweep share the primitive
+# table, the block AABBs and the ray staging; fusing them keeps the hit
+# point/normal in VMEM registers between the two sweeps (the split path
+# round-trips them through HBM and pays a second kernel launch + props
+# copy).  Only valid for scenes with exactly one parallelogram light whose
+# NEE shadow rays originate at lambertian hits — every reference scene with
+# lights (shaders/closehit.cu:70-118 does the same two traversals per
+# non-specular hit, just hardware-scheduled).
+# ---------------------------------------------------------------------------
+
+def _fused_body(chunk_plan, vol_slots, any_xform, n_vol, tmin, shadow_eps,
+                lanes_ref, props_ref, aabb_ref, lp_ref,
+                of_ref, oi_ref, bt_ref, bi_ref, bp_ref, occ_ref):
+    nv = max(n_vol, 1)
+    o = Vec3(lanes_ref[0, :], lanes_ref[1, :], lanes_ref[2, :])
+    d = Vec3(lanes_ref[3, :], lanes_ref[4, :], lanes_ref[5, :])
+    time = lanes_ref[6, :]
+    tmax = lanes_ref[7, :]
+    la = lanes_ref[8, :]
+    lb = lanes_ref[9, :]
+
+    res = _nearest_hit(chunk_plan, vol_slots, any_xform, tmin, o, d, time,
+                       tmax, lanes_ref, _LANES_FIXED, props_ref, aabb_ref,
+                       bt_ref, bi_ref, bp_ref)
+    best_t, best_i, best_props, point, normal, uu, vv = res
+
+    # Light sample + shadow ray, replicating the integrator's NEE
+    # construction (integrator.bounce_step) op-for-op on the same values so
+    # the occlusion verdict corresponds to exactly the ray the outer MIS
+    # math assumes (rectPdf.cu:124-193 sampling; closehit.cu:97-101 probe).
+    lpos = Vec3(lp_ref[0, 0] + lp_ref[0, 3] * la + lp_ref[0, 6] * lb,
+                lp_ref[0, 1] + lp_ref[0, 4] * la + lp_ref[0, 7] * lb,
+                lp_ref[0, 2] + lp_ref[0, 5] * la + lp_ref[0, 8] * lb)
+    ldir = lpos - point
+    ldist = ldir.length()
+    ldir_u = ldir * (1.0 / jnp.maximum(ldist, 1e-12))
+    shadow_org = offset_point(point, normal, ldir_u)
+    tmax_sh = ldist * np.float32(0.999)
+
+    want = (best_i >= 0) & (best_props[_MAT] == np.float32(S.MAT_LAMBERTIAN))
+    _occl_sweep(chunk_plan, vol_slots, shadow_eps, shadow_org, ldir_u, time,
+                tmax_sh, lanes_ref, _LANES_FIXED + nv, props_ref, aabb_ref,
+                occ_ref, want=want)
+
+    shadowed = jnp.where(want, occ_ref[0, :], 0.0)
+    _write_hit(of_ref, oi_ref, *res, extra_f32=(shadowed,))
+
+
+_LANES_FIXED = 10    # o(3) d(3) time tmax light_a light_b
+
+
+@functools.lru_cache(maxsize=64)
+def _make_fused(chunk_plan, vol_slots, n_vol, tmin, shadow_eps, any_xform,
+                n_tiles, kdim):
+    nv = max(n_vol, 1)
+    rows = _LANES_FIXED + 2 * nv
+    kern = functools.partial(_fused_body, chunk_plan, vol_slots, any_xform,
+                             n_vol, tmin, shadow_eps)
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((rows, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # props, whole table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # block AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # light constants [1,16]
+        ],
+        out_specs=(
+            pl.BlockSpec((_NF32 + 1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NI32, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, TILE), jnp.float32),     # best t
+            pltpu.VMEM((1, TILE), jnp.int32),       # best prim
+            pltpu.VMEM((kdim, TILE), jnp.float32),  # best props
+            pltpu.VMEM((1, TILE), jnp.float32),     # occluded
+        ],
+    )
+
+    def run(lanes, props, aabbs, lparams):
+        n = lanes.shape[1]
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((_NF32 + 1, n), jnp.float32),
+                       jax.ShapeDtypeStruct((_NI32, n), jnp.int32)),
+        )(lanes, props, aabbs, lparams)
+
+    return run
+
+
+def trace_nee_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time,
+                     vol_u, occ_u, light_a, light_b, shadow_eps):
+    """Fused nearest-hit + NEE shadow sweep (single-light scenes).
+
+    Same contract as trace_pallas plus a `shadowed` bool plane: whether the
+    shadow ray from each lambertian hit toward the light point sampled by
+    (light_a, light_b) on light row 0 is occluded.  Lanes that miss or hit
+    non-lambertian materials return shadowed=False (the integrator masks
+    them out of the NEE sum anyway)."""
+    n = o.x.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    any_xform = any(e[5] for e in scene.chunk_plan)
+    tmax_p = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    lanes = jnp.concatenate([
+        jnp.stack([o.x, o.y, o.z, d.x, d.y, d.z, time, tmax_p,
+                   light_a, light_b], axis=0),
+        vol_u, occ_u], axis=0)
+    lanes = _pad_tile(lanes, n_pad)
+    props = build_props(scene, any_xform)
+    lt = scene.lights
+    lparams = jnp.concatenate(
+        [lt.position[0], lt.vec_u[0], lt.vec_v[0],
+         jnp.zeros((7,), jnp.float32)]).astype(jnp.float32)[None, :]
+
+    run = _make_fused(scene.chunk_plan, scene.vol_slots_static, scene.n_vol,
+                      float(tmin), float(shadow_eps), any_xform,
+                      n_pad // TILE, props.shape[1])
+    f32, i32 = run(lanes, props, scene.block_aabbs, lparams)
+    hit, shade = _unpack_hit(f32, i32, n)
+    shadowed = f32[_NF32, :n] > 0.5
+    return hit, shade, shadowed

@@ -31,6 +31,7 @@ global mesh spanning all hosts' devices.
 from __future__ import annotations
 
 import math
+import time as _time
 
 import numpy as np
 import jax
@@ -66,39 +67,95 @@ def _pad_to(n: int, m: int) -> int:
     return math.ceil(n / m) * m
 
 
-def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels"):
+def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
+                   metrics: dict | None = None, verbose: bool = False,
+                   checkpoint_path: str | None = None,
+                   checkpoint_every: int = 0):
     """Sharded render; returns the full linear [ny, nx, 3] image (replicated).
 
     mode="pixels": pixel slabs per device.  mode="samples": full image per
     device at spp/N samples each, psum-reduced.
+
+    Both modes accumulate in the same spp chunks as the single-device
+    `render()` (cfg.resolved_spp_chunk), so the pixels-mode image is
+    *bit-identical* to it (identical per-lane addition order).  With
+    `checkpoint_path` the replicated accumulator persists every
+    `checkpoint_every` samples (default: every chunk) and resumes
+    deterministically (utils/checkpoint.py) — preempting a pod-slice render
+    loses at most one chunk.
     """
     if key is None:
         key = R.base_key(cfg.seed)
     ndev = mesh.devices.size
     npix = cfg.num_pixels
+    chunk = cfg.resolved_spp_chunk()
 
     if mode == "pixels":
         padded = _pad_to(npix, ndev)
         pixel_idx = np.arange(padded, dtype=np.int32)
         pixel_idx[npix:] = 0
-        pixel_idx = jnp.asarray(pixel_idx)
+        pix_sharded = jax.device_put(
+            jnp.asarray(pixel_idx), NamedSharding(mesh, P("data")))
 
-        @jax.jit
-        def run(pix):
-            def local(pix_local):
-                acc, _ = trace_wavefront(scene, cfg, pix_local, key, 0,
-                                         cfg.spp)
-                return acc.stack()
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
+        def run(pix, acc, s0, ns):
+            def local(pix_local, acc_local):
+                a, rays = trace_wavefront(scene, cfg, pix_local, key, s0, ns)
+                return acc_local + a.stack(), lax.psum(rays, "data")
 
             return jax.shard_map(
-                local, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
-                check_vma=False,
-            )(pix)
+                local, mesh=mesh, in_specs=(P("data"), P("data")),
+                out_specs=(P("data"), P()), check_vma=False,
+            )(pix, acc)
 
-        pix_sharded = jax.device_put(
-            pixel_idx, NamedSharding(mesh, P("data")))
-        acc = run(pix_sharded)
-        img = np.asarray(acc)[:npix] / np.float32(cfg.spp)
+        acc = jax.device_put(jnp.zeros((padded, 3), jnp.float32),
+                             NamedSharding(mesh, P("data")))
+        total_rays = 0.0
+        spp_done = 0
+        if checkpoint_path is not None:
+            from rtw_tpu.utils import checkpoint as ckpt
+
+            state = ckpt.load(checkpoint_path, cfg)
+            if state is not None:
+                acc_np, total_rays, spp_done = state
+                per = np.zeros((padded, 3), np.float32)
+                per[: acc_np.shape[0]] = acc_np
+                acc = jax.device_put(jnp.asarray(per),
+                                     NamedSharding(mesh, P("data")))
+                if verbose:
+                    print(f"INFO: resumed at {spp_done}/{cfg.spp} spp",
+                          flush=True)
+
+        t_start = _time.perf_counter()
+        s0 = spp_done
+        while s0 < cfg.spp:
+            ns = min(chunk, cfg.spp - s0)
+            acc, rays = run(pix_sharded, acc, jnp.asarray(s0, jnp.int32), ns)
+            total_rays += float(rays)
+            s0 += ns
+            if verbose:
+                jax.block_until_ready(acc)
+                print(f"INFO: {s0}/{cfg.spp} spp done", flush=True)
+            if checkpoint_path is not None and (
+                    s0 >= cfg.spp or checkpoint_every <= 0
+                    or (s0 - spp_done) % max(checkpoint_every, 1) == 0):
+                from rtw_tpu.utils import checkpoint as ckpt
+
+                ckpt.save(checkpoint_path, cfg,
+                          np.asarray(acc)[:npix], total_rays, s0)
+        img_dev = jax.block_until_ready(acc)
+        elapsed = _time.perf_counter() - t_start
+        img = np.asarray(img_dev)[:npix] / np.float32(cfg.spp)
+        if metrics is not None:
+            n_paths = npix * (cfg.spp - spp_done)
+            metrics.update(
+                wall_seconds=elapsed, pixels=npix, spp=cfg.spp,
+                devices=ndev, paths=n_paths, rays=total_rays,
+                samples_per_sec=n_paths / max(elapsed, 1e-9),
+                mrays_per_sec=total_rays / max(elapsed, 1e-9) / 1e6,
+            )
         return img.reshape(cfg.ny, cfg.nx, 3)
 
     if mode == "samples":
@@ -111,21 +168,30 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels"):
         def run():
             def local():
                 dev = lax.axis_index("data")
-
-                def body(i, acc):
-                    s = dev * local_spp + i  # global sample index
-                    rad, _ = trace_paths_counted(scene, cfg, pixel_idx, s, key)
-                    return acc + rad.stack()
-
-                acc = lax.fori_loop(0, local_spp, body,
-                                    jnp.zeros((npix, 3), jnp.float32))
-                return lax.psum(acc, "data")
+                s_base = (dev * local_spp).astype(jnp.int32)
+                # persistent regenerating wavefront over this device's sample
+                # range (replaces the per-sample fori_loop, whose fixed-depth
+                # bounce sweeps ran at ~25% occupancy)
+                acc, rays = trace_wavefront(scene, cfg, pixel_idx, key,
+                                            s_base, local_spp)
+                return lax.psum(acc.stack(), "data"), lax.psum(rays, "data")
 
             return jax.shard_map(local, mesh=mesh, in_specs=(),
-                                 out_specs=P(), check_vma=False)()
+                                 out_specs=(P(), P()), check_vma=False)()
 
-        acc = run()
+        t_start = _time.perf_counter()
+        acc, rays = run()
+        acc = jax.block_until_ready(acc)
+        elapsed = _time.perf_counter() - t_start
         img = np.asarray(acc) / np.float32(cfg.spp)
+        if metrics is not None:
+            n_paths = npix * cfg.spp
+            metrics.update(
+                wall_seconds=elapsed, pixels=npix, spp=cfg.spp,
+                devices=ndev, paths=n_paths, rays=float(rays),
+                samples_per_sec=n_paths / max(elapsed, 1e-9),
+                mrays_per_sec=float(rays) / max(elapsed, 1e-9) / 1e6,
+            )
         return img.reshape(cfg.ny, cfg.nx, 3)
 
     raise ValueError(f"unknown mode {mode!r}")

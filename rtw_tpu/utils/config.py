@@ -51,6 +51,18 @@ class RenderConfig:
     #         (ops/trace_kernel.py), pure-JAX sweep elsewhere.
     # "pallas" / "jnp": force one (pallas requires TPU or interpret mode).
     backend: str = "auto"
+    # Fuse the NEE occlusion sweep into the trace kernel (one launch per
+    # bounce; single-light pallas scenes only).  Measured A/B on real
+    # hardware — see BASELINE.md.
+    fuse_nee: bool = True
+
+    # Image-texture filtering ----------------------------------------------
+    # "rgb565": bilinear from the RGB565 pair atlas — 2 flat gathers per
+    #           fetch (gathers dominate image-texture cost on TPU), ~1.5%
+    #           color quantization.
+    # "rgb8":   exact 8-bit bilinear, 4 gathers (the reference's
+    #           cudaTextureObject_t semantics, ioTexture.h:293-311).
+    tex_filter: str = "rgb565"
 
     # RNG implementation -------------------------------------------------
     # "fast": stateless pcg_hash streams keyed by (seed, pixel, sample,

@@ -123,3 +123,24 @@ def test_checker_nesting_rejected():
                            b.constant_texture((0, 0, 0)))
     with pytest.raises(ValueError):
         b.checker_texture(c1, b.constant_texture((0, 0, 0)))
+
+
+def test_bilinear_565_matches_rgb8():
+    """RGB565 pair-atlas bilinear == exact 8-bit bilinear within the 5-bit
+    quantization bound, including the clamp-addressing edges."""
+    import jax.numpy as jnp
+    from rtw_tpu.ops.textures import _image_bilinear, _image_bilinear_565
+    import rtw_tpu as rt
+
+    scene = rt.build_scene(2, 64, 32)   # has the earth image texture
+    tex = scene.textures
+    rng = np.random.default_rng(3)
+    n = 4096
+    u = jnp.asarray(rng.uniform(-0.1, 1.1, n), jnp.float32)  # past the edges
+    v = jnp.asarray(rng.uniform(-0.1, 1.1, n), jnp.float32)
+    iid = jnp.zeros(n, jnp.int32)
+    a = np.asarray(_image_bilinear(tex, iid, u, v).stack())
+    b = np.asarray(_image_bilinear_565(tex, iid, u, v).stack())
+    # 5-bit channels quantize at 1/62 half-step; allow 2 half-steps for the
+    # bilinear mix of 4 taps
+    assert np.abs(a - b).max() <= 2.0 / 62.0 + 1e-6
