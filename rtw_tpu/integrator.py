@@ -82,7 +82,7 @@ def generate_camera_rays(scene: S.Scene, cfg, pixel_idx, path_keys) -> PathState
     quirk 2: the reference never uploads cameraLensRadius, silently disabling
     depth of field)."""
     cam = scene.camera
-    u = R.camera_uniforms(path_keys)          # [5, N]
+    u = R.camera_uniforms(path_keys, cfg.rng)          # [5, N]
     x = (pixel_idx % cfg.nx).astype(jnp.float32)
     y = (pixel_idx // cfg.nx).astype(jnp.float32)
     s = (x + u[0]) / np.float32(cfg.nx)
@@ -139,7 +139,7 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     """One wavefront bounce: trace, shade, NEE, RR.  Returns new state."""
     nv = max(scene.n_vol, 1)
     n_slots = R.NUM_FIXED_SLOTS + 2 * nv
-    U = R.bounce_uniforms(path_keys, bounce + 1, n_slots)   # [n_slots, N]
+    U = R.bounce_uniforms(path_keys, bounce + 1, n_slots, cfg.rng)  # [n_slots, N]
     vol_u = U[R.NUM_FIXED_SLOTS: R.NUM_FIXED_SLOTS + nv]
     occ_u = U[R.NUM_FIXED_SLOTS + nv: R.NUM_FIXED_SLOTS + 2 * nv]
 

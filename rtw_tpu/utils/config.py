@@ -52,9 +52,11 @@ class RenderConfig:
     # "pallas" / "jnp": force one (pallas requires TPU or interpret mode).
     backend: str = "auto"
     # Fuse the NEE occlusion sweep into the trace kernel (one launch per
-    # bounce; single-light pallas scenes only).  Measured A/B on real
-    # hardware — see BASELINE.md.
-    fuse_nee: bool = True
+    # bounce; single-light pallas scenes only).  Measured A/B on one chip
+    # (800x400, depth 20): scene 2 +2% (7.05 vs 6.92 Mrays/s), scene 4 -8%
+    # (2.27 vs 2.46) — the bigger unrolled kernel body scheds worse than
+    # two launches at 4k prims, so the split path stays the default.
+    fuse_nee: bool = False
 
     # Image-texture filtering ----------------------------------------------
     # "rgb565": bilinear from the RGB565 pair atlas — 2 flat gathers per
@@ -69,7 +71,11 @@ class RenderConfig:
     #         bounce, slot) — the GPU-rendering standard, ~100x cheaper than
     #         threefry on the VPU.
     # "threefry": jax.random counter-based streams (same logical keying).
-    # Both make the estimator independent of device count / mesh shape.
+    # "tea": the reference's generator family (tea<16> seeding + OptiX SDK
+    #        LCG, lib/random.cuh) with the same logical keying — see
+    #        utils/rng.py on why bit-level stream parity with the CUDA
+    #        binary is out of reach.
+    # All make the estimator independent of device count / mesh shape.
     rng: str = "fast"
 
     # Differentiability ------------------------------------------------------

@@ -41,3 +41,34 @@ def write_image(img_u8: np.ndarray, path: str | None) -> None:
             write_ppm(img_u8, f)
     else:
         write_png(img_u8, path)
+
+
+def ssim(a: np.ndarray, b: np.ndarray, win: int = 8) -> float:
+    """Mean structural similarity between two [H, W, 3] float images in
+    [0, 1] (uniform win x win windows, standard SSIM constants).
+
+    Used by the reference-image comparison harness (tools/compare_reference)
+    to score our renders against the reference's committed renders
+    (RestOfLife/assets/img/) as *structural* goldens — per-pixel equality is
+    not meaningful across different RNG streams, spp and the reference's
+    NN denoiser."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=-1)
+        b = b.mean(axis=-1)
+    h, w = a.shape
+    hh, ww = h // win * win, w // win * win
+    # non-overlapping windows: [H/win, W/win, win*win]
+    blocks = (lambda x: x[:hh, :ww].reshape(hh // win, win, ww // win, win)
+              .transpose(0, 2, 1, 3).reshape(hh // win, ww // win, -1))
+    ab, bb = blocks(a), blocks(b)
+    mu_a = ab.mean(-1)
+    mu_b = bb.mean(-1)
+    va = ab.var(-1)
+    vb = bb.var(-1)
+    cov = (ab * bb).mean(-1) - mu_a * mu_b
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)
+         / ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2)))
+    return float(s.mean())

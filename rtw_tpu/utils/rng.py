@@ -81,6 +81,51 @@ def pixel_sample_hash(key: jax.Array, pixel_idx: jax.Array, sample_idx) -> jax.A
     return pcg_hash(h1 + pixel_idx.astype(jnp.uint32))
 
 
+# ---------------------------------------------------------------------------
+# Parity-family RNG (cfg.rng="tea"): the reference's generator pair —
+# tea<16> seeding + the OptiX SDK LCG (lib/random.cuh via cuda/random.h;
+# raygen.cu:129 seeds with tea(pixel_index, 0)).  Draws here are keyed by
+# (pixel, sample, bounce) like the other backends: per-path tea state, a
+# tea-mixed per-bounce substream, then *sequential* LCG draws per slot —
+# the same generators consumed in a fixed slot order.  Bit-level parity with
+# the CUDA binary's call-site-ordered stream is not reproducible (or
+# verifiable) off NVIDIA hardware; this mode exists to render with the
+# reference's generator family (e.g. for RNG-sensitivity comparisons).
+# ---------------------------------------------------------------------------
+
+def tea(v0, v1, rounds: int = 16):
+    """Tiny Encryption Algorithm hash of two uint32 words (OptiX SDK tea<N>)."""
+    v0 = jnp.asarray(v0).astype(jnp.uint32)
+    v1 = jnp.broadcast_to(jnp.asarray(v1).astype(jnp.uint32), jnp.shape(v0))
+    s = 0
+    for _ in range(rounds):
+        s = (s + 0x9E3779B9) & 0xFFFFFFFF
+        v0 = v0 + (((v1 << np.uint32(4)) + np.uint32(0xA341316C))
+                   ^ (v1 + np.uint32(s))
+                   ^ ((v1 >> np.uint32(5)) + np.uint32(0xC8013EA4)))
+        v1 = v1 + (((v0 << np.uint32(4)) + np.uint32(0xAD90777D))
+                   ^ (v0 + np.uint32(s))
+                   ^ ((v0 >> np.uint32(5)) + np.uint32(0x7E95761E)))
+    return v0
+
+
+def _lcg_draws(state, k: int):
+    """k sequential LCG draws (seed = 1664525*seed + 1013904223; value =
+    low 24 bits / 2^24 — cuda/random.h rnd()).  Returns ([k, N], new state)."""
+    rows = []
+    for _ in range(k):
+        state = state * np.uint32(1664525) + np.uint32(1013904223)
+        rows.append((state & np.uint32(0x00FFFFFF)).astype(jnp.float32)
+                    * np.float32(1.0 / 16777216.0))
+    return jnp.stack(rows, axis=0), state
+
+
+def _tea_path_state(key, pixel_idx, sample_idx):
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    s = jnp.asarray(sample_idx).astype(jnp.uint32) + kd[0]
+    return tea(pixel_idx.astype(jnp.uint32), s)
+
+
 def _is_threefry(path_keys) -> bool:
     return jnp.issubdtype(path_keys.dtype, jax.dtypes.prng_key)
 
@@ -99,21 +144,29 @@ def pixel_sample_keys(key: jax.Array, pixel_idx: jax.Array, sample_idx) -> jax.A
 
 
 def make_path_keys(key, pixel_idx, sample_idx, impl: str = "fast"):
-    """Per-path RNG state: uint32 hash plane ("fast") or threefry keys."""
+    """Per-path RNG state: uint32 hash plane ("fast"/"tea") or threefry keys."""
     if impl == "fast":
         return pixel_sample_hash(key, pixel_idx, sample_idx)
+    if impl == "tea":
+        return _tea_path_state(key, pixel_idx, sample_idx)
     if impl == "threefry":
         return pixel_sample_keys(key, pixel_idx, sample_idx)
     raise ValueError(f"unknown rng impl {impl!r}")
 
 
-def bounce_uniforms(path_keys: jax.Array, bounce, n_slots: int) -> jax.Array:
+def bounce_uniforms(path_keys: jax.Array, bounce, n_slots: int,
+                    impl: str = "fast") -> jax.Array:
     """Draw the per-bounce uniform block: [n_slots, N] in [0, 1).
 
     Slot-major so each slot row is a dense [N] plane (rays on the vector
     lanes; see ops/vec.py on layout).  `bounce` may be a scalar or a
     per-lane [N] vector (persistent-wavefront paths at different depths).
     """
+    if impl == "tea" and not _is_threefry(path_keys):
+        sub = tea(path_keys, jnp.asarray(bounce).astype(jnp.uint32) + 1,
+                  rounds=8)
+        rows, _ = _lcg_draws(sub, n_slots)
+        return rows
     if _is_threefry(path_keys):
         b = jnp.broadcast_to(jnp.asarray(bounce), path_keys.shape)
 
@@ -130,9 +183,12 @@ def bounce_uniforms(path_keys: jax.Array, bounce, n_slots: int) -> jax.Array:
     return jnp.stack(rows, axis=0)
 
 
-def camera_uniforms(path_keys: jax.Array) -> jax.Array:
+def camera_uniforms(path_keys: jax.Array, impl: str = "fast") -> jax.Array:
     """Draws consumed before the bounce loop: jitter s,t; lens u1,u2; time.
     Returns [5, N]."""
+    if impl == "tea" and not _is_threefry(path_keys):
+        rows, _ = _lcg_draws(path_keys, 5)   # reference order: jitter first
+        return rows
     if _is_threefry(path_keys):
         def draw(k):
             return jax.random.uniform(jax.random.fold_in(k, 0x0CA4), (5,),

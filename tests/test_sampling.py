@@ -116,9 +116,46 @@ def test_rng_threefry_and_fast_both_render():
     import rtw_tpu as rt
 
     means = []
-    for impl in ("fast", "threefry"):
+    for impl in ("fast", "threefry", "tea"):
         cfg = rt.RenderConfig(nx=32, ny=24, spp=64, max_depth=8, scene_id=5,
                               rng=impl)
         img = np.asarray(rt.render(rt.build_scene(5, cfg.nx, cfg.ny), cfg))
         means.append(img.mean())
-    assert abs(means[0] - means[1]) / means[1] < 0.02, means
+    for m in means[1:]:
+        assert abs(means[0] - m) / means[0] < 0.02, means
+
+
+def test_tea_lcg_quality():
+    """The parity-family tea+LCG RNG (cfg.rng="tea") draws uniform,
+    decorrelated slot streams, and tea matches a direct scalar evaluation."""
+    from rtw_tpu.utils import rng as R
+
+    # scalar known-answer: replicate tea<16> in python ints
+    def tea_py(v0, v1, rounds=16):
+        s = 0
+        M = 0xFFFFFFFF
+        for _ in range(rounds):
+            s = (s + 0x9E3779B9) & M
+            v0 = (v0 + ((((v1 << 4) & M) + 0xA341316C) ^ ((v1 + s) & M)
+                        ^ ((v1 >> 5) + 0xC8013EA4))) & M
+            v1 = (v1 + ((((v0 << 4) & M) + 0xAD90777D) ^ ((v0 + s) & M)
+                        ^ ((v0 >> 5) + 0x7E95761E))) & M
+        return v0
+
+    got = np.asarray(R.tea(jnp.asarray([7, 1234567], jnp.uint32), 3))
+    assert got[0] == tea_py(7, 3) and got[1] == tea_py(1234567, 3)
+
+    key = R.base_key(0)
+    n = 100_000
+    pix = jnp.arange(n, dtype=jnp.int32)
+    pk = R.make_path_keys(key, pix, 3, "tea")
+    u = np.asarray(R.bounce_uniforms(pk, 5, 8, "tea"))
+    assert u.min() >= 0.0 and u.max() < 1.0
+    for k in range(8):
+        counts, _ = np.histogram(u[k], bins=32, range=(0, 1))
+        chi2 = ((counts - n / 32) ** 2 / (n / 32)).sum()
+        assert chi2 < 32 + 3.9 * np.sqrt(2 * 31), chi2
+    u2 = np.asarray(R.bounce_uniforms(pk, 6, 8, "tea"))
+    for a, b in [(u[0], u[1]), (u[0], u2[0]), (u[0][:-1], u[0][1:])]:
+        r = np.corrcoef(a, b)[0, 1]
+        assert abs(r) < 0.02, r
