@@ -40,7 +40,7 @@ from rtw_tpu.models import scene as S
 from rtw_tpu.ops import sampling as sm
 from rtw_tpu.ops import vec as V
 from rtw_tpu.ops.vec import Vec3
-from rtw_tpu.ops.intersect import intersect_scene, occluded
+from rtw_tpu.ops.intersect import BIG, intersect_scene, occluded
 from rtw_tpu.ops.shading import gather_shade, resolve_albedo
 from rtw_tpu.utils import rng as R
 
@@ -145,6 +145,15 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
 
     o, d = state.origin, state.direction
     ray_count = state.ray_count + jnp.sum(state.alive.astype(jnp.float32))
+    # Dead lanes get tmax = -BIG: no primitive block can activate for them
+    # (the kernels' slab test needs near < tmax, and near >= -BIG always —
+    # a merely-negative sentinel would still activate lanes whose origin
+    # sits inside a block AABB), so ray tiles whose lanes are ALL dead (the
+    # compacted drain tail, see trace_wavefront) skip every block at
+    # slab-test cost only.  Their forced miss is invisible — every consumer
+    # below is masked by state.alive.
+    tmax_lane = jnp.where(state.alive, np.float32(cfg.t_max),
+                          np.float32(-BIG))
     use_pallas = _pallas_backend(cfg, scene)
     # fused trace+NEE kernel: one launch per bounce instead of trace +
     # occlusion (single-light scenes; lambertian is the only NEE emitter)
@@ -155,15 +164,15 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
         from rtw_tpu.ops.trace_kernel import trace_nee_pallas
 
         hit, shade, shadowed_fused = trace_nee_pallas(
-            scene, o, d, cfg.t_min, cfg.t_max, state.time, vol_u, occ_u,
+            scene, o, d, cfg.t_min, tmax_lane, state.time, vol_u, occ_u,
             U[R.U_LIGHT_A], U[R.U_LIGHT_B], cfg.shadow_eps)
     elif use_pallas:
         from rtw_tpu.ops.trace_kernel import trace_pallas
 
-        hit, shade = trace_pallas(scene, o, d, cfg.t_min, cfg.t_max,
+        hit, shade = trace_pallas(scene, o, d, cfg.t_min, tmax_lane,
                                   state.time, vol_u)
     else:
-        hit = intersect_scene(scene, o, d, cfg.t_min, cfg.t_max, state.time,
+        hit = intersect_scene(scene, o, d, cfg.t_min, tmax_lane, state.time,
                               vol_u)
         shade = gather_shade(scene, hit.prim_idx, hit.prim_idx >= 0)
     miss = hit.prim_idx < 0
@@ -317,18 +326,21 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
         # relative end margin: the absolute 5e-5 of the reference
         # (closehit.cu:100) is smaller than fp32 error at scene scale and
         # than the acne offset above, making the light occlude itself
+        # lanes with no NEE work get tmax = -BIG: fully-inactive shadow
+        # tiles resolve at slab-test cost (their verdict is masked out below)
+        occ_tmax = jnp.where(nee_active, ldist * np.float32(0.999),
+                             np.float32(-BIG))
         if shadowed_fused is not None:
             shadowed = shadowed_fused
         elif use_pallas:
             from rtw_tpu.ops.trace_kernel import occluded_pallas
 
             shadowed = occluded_pallas(scene, shadow_org, ldir_u,
-                                       cfg.shadow_eps,
-                                       ldist * np.float32(0.999),
+                                       cfg.shadow_eps, occ_tmax,
                                        state.time, occ_u)
         else:
             shadowed = occluded(scene, shadow_org, ldir_u, cfg.shadow_eps,
-                                ldist * np.float32(0.999), state.time, occ_u)
+                                occ_tmax, state.time, occ_u)
         l_pdf_safe = jnp.where(nee_active, l_pdf, 1.0)
         bsdf_safe = jnp.where(nee_active, bsdf_pdf, 1.0)
         w_nee = sm.power_heuristic(l_pdf_safe, bsdf_safe)
@@ -417,6 +429,60 @@ class _WavefrontState(NamedTuple):
     sample: Any        # [N] int32: lane's current sample index
     accum: Vec3        # [N] planes: sum of completed samples' radiance
     rays: Any          # scalar f32
+    pixel: Any         # [N] int32: lane's pixel (rides along under compaction)
+    slot: Any          # [N] int32: lane's original position (for un-permute)
+    thresh: Any        # scalar int32: alive count at the last compaction
+
+
+def _alive_first_perm(alive):
+    """Gather indices of the stable alive-first partition of the lanes.
+
+    cumsum-based (2 scans + 1 scatter) — far cheaper than a sort, and the
+    partition is all the trace kernels need: dead lanes collect into
+    contiguous all-dead tiles that resolve at slab-test cost (their tmax is
+    forced below tmin in bounce_step)."""
+    n = alive.shape[0]
+    a = alive.astype(jnp.int32)
+    n_alive = jnp.sum(a)
+    pos_alive = jnp.cumsum(a) - 1
+    pos_dead = n_alive + jnp.cumsum(1 - a) - 1
+    dest = jnp.where(alive, pos_alive, pos_dead)
+    return jnp.zeros((n,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+
+def _permute_wavefront(wf: _WavefrontState, perm) -> _WavefrontState:
+    """Apply a lane permutation to every per-lane column of the carry.
+
+    Pure relabeling: each lane keeps its whole (pixel, sample cursor, RNG
+    state, accumulator) context, so the estimator — and the image, which is
+    un-permuted through `slot` at the end — is bit-identical."""
+    p = wf.path
+    path = PathState(
+        origin=Vec3(p.origin.x[perm], p.origin.y[perm], p.origin.z[perm]),
+        direction=Vec3(p.direction.x[perm], p.direction.y[perm],
+                       p.direction.z[perm]),
+        throughput=Vec3(p.throughput.x[perm], p.throughput.y[perm],
+                        p.throughput.z[perm]),
+        radiance=Vec3(p.radiance.x[perm], p.radiance.y[perm],
+                      p.radiance.z[perm]),
+        alive=p.alive[perm],
+        time=p.time[perm],
+        prev_pdf=p.prev_pdf[perm],
+        prev_diffuse=p.prev_diffuse[perm],
+        ray_count=p.ray_count,
+    )
+    return _WavefrontState(
+        path=path,
+        path_keys=wf.path_keys[perm],
+        depth=wf.depth[perm],
+        sample=wf.sample[perm],
+        accum=Vec3(wf.accum.x[perm], wf.accum.y[perm], wf.accum.z[perm]),
+        rays=wf.rays,
+        pixel=wf.pixel[perm],
+        slot=wf.slot[perm],
+        thresh=wf.thresh,
+    )
 
 
 def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int, n_samples: int):
@@ -436,8 +502,19 @@ def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int, n_samples: int
     per-sample loop up to float addition order *within one lane*, which is
     also sample-ascending here.
 
+    Once the drain tail begins (no lane regenerates, occupancy only decays),
+    lanes are periodically partitioned alive-first (`_alive_first_perm`) —
+    each halving of the alive count triggers one compaction.  Dead lanes
+    collect into contiguous all-dead ray tiles which the trace kernels
+    resolve at slab-test cost (bounce_step forces their tmax below tmin), so
+    the straggler tail costs ~occupancy instead of ~100% per iteration.  The
+    image is bit-identical: a lane carries its whole (pixel, sample, RNG,
+    accumulator) context through the permutation and is un-permuted by
+    `slot` at the end.
+
     Returns (accum Vec3 [N] = sum over samples [s0, s0+n_samples), rays)."""
     n = pixel_idx.shape[0]
+    compacting = _pallas_backend(cfg, scene)
     s_init = jnp.full((n,), s0, jnp.int32)
     path_keys = R.make_path_keys(key, pixel_idx, s_init, cfg.rng)
     path = generate_camera_rays(scene, cfg, pixel_idx, path_keys)
@@ -450,6 +527,9 @@ def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int, n_samples: int
         sample=s_init,
         accum=V.zeros(n),
         rays=jnp.zeros((), jnp.float32),
+        pixel=pixel_idx,
+        slot=jnp.arange(n, dtype=jnp.int32),
+        thresh=jnp.asarray(n, jnp.int32),
     )
 
     def cond(wf):
@@ -471,8 +551,8 @@ def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int, n_samples: int
 
         # regenerate: fresh path for (pixel, sample) — computed for all lanes,
         # selected per lane (lockstep; the cost is one camera-ray block)
-        new_keys = R.make_path_keys(key, pixel_idx, sample, cfg.rng)
-        fresh = generate_camera_rays(scene, cfg, pixel_idx, new_keys)
+        new_keys = R.make_path_keys(key, wf.pixel, sample, cfg.rng)
+        fresh = generate_camera_rays(scene, cfg, wf.pixel, new_keys)
 
         alive = jnp.where(finished, regen, st.alive)
         path = PathState(
@@ -488,14 +568,43 @@ def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int, n_samples: int
             ray_count=st.ray_count,
         )
         keys = jnp.where(regen, new_keys, wf.path_keys)
-        return _WavefrontState(
+        nwf = _WavefrontState(
             path=path,
             path_keys=keys,
             depth=jnp.where(regen, 0, depth),
             sample=sample,
             accum=accum,
             rays=st.ray_count,
+            pixel=wf.pixel,
+            slot=wf.slot,
+            thresh=wf.thresh,
         )
 
+        if not compacting:
+            return nwf
+
+        # drain-tail compaction: each halving of the alive count repacks
+        # alive lanes to the front (a cumsum partition + one gather per
+        # carried column, ~0.3 ms — negligible next to one sweep), so
+        # all-dead suffix tiles resolve at slab-test cost every following
+        # iteration.  Only worth anything for the tiled Pallas backend: the
+        # plain-XLA sweep is lockstep over all lanes regardless of order,
+        # and the lax.cond splits its otherwise fully-fused bounce body
+        # (measured 3.6x slower on Cornell) — so it is compiled out there.
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        do_compact = (n_alive * 2 < nwf.thresh) & (n_alive > 0)
+
+        def compact(w):
+            w = _permute_wavefront(w, _alive_first_perm(w.path.alive))
+            return w._replace(thresh=n_alive)
+
+        return lax.cond(do_compact, compact, lambda w: w, nwf)
+
     wf = lax.while_loop(cond, body, wf)
-    return wf.accum, wf.rays
+    if not compacting:
+        return wf.accum, wf.rays          # slot is the identity
+    zero = jnp.zeros((n,), jnp.float32)
+    accum = Vec3(zero.at[wf.slot].set(wf.accum.x),
+                 zero.at[wf.slot].set(wf.accum.y),
+                 zero.at[wf.slot].set(wf.accum.z))
+    return accum, wf.rays
