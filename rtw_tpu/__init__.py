@@ -8,8 +8,10 @@ for TPU:
 - SoA ray state in HBM, lockstep bounce loop (`lax.while_loop` / `lax.scan`)
   with alive-masking instead of OptiX's megakernel + SER reordering
   (reference: RestOfLife/raygen/raygen.cu:28-87).
-- Vectorized chunked primitive intersection + BVH instead of hardware
-  `optixTraverse` (reference: RestOfLife/geometry/*.cu).
+- Vectorized brute-force primitive sweep with per-tile AABB block culling
+  instead of hardware BVH `optixTraverse` — measured to beat a per-ray BVH
+  walk on this hardware (docs/QUIRKS.md "TPU acceleration-structure note";
+  reference: RestOfLife/geometry/*.cu).
 - Branch-free masked material shading instead of direct-callable function
   tables (reference: RestOfLife/shaders/closehit.cu, material/*.cu).
 - Counter-based threefry RNG keyed by (pixel, sample, bounce) so images are
@@ -20,7 +22,8 @@ for TPU:
 
 Package layout:
   models/    scene/world model: cameras, materials, textures, lights, scenes 0-4
-  ops/       compute kernels: intersection, shading, sampling, BVH
+  ops/       compute kernels: intersection sweeps, Pallas trace kernels,
+             shading, sampling, textures
   parallel/  device mesh, sharded rendering, distributed bootstrap
   utils/     config, RNG, image I/O, metrics, logging
 """

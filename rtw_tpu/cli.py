@@ -97,7 +97,11 @@ def main(argv=None) -> int:
 
     cfg = RenderConfig(nx=nx, ny=ny, spp=ns, max_depth=args.max_depth,
                        seed=args.seed, scene_id=args.scene,
-                       mis_bsdf_weight=(args.estimator == "mis"))
+                       mis_bsdf_weight=(args.estimator == "mis"),
+                       # metrics sidecar requested -> collect the per-bounce
+                       # wavefront counters too (single-device render path)
+                       bounce_stats=bool(args.metrics_json
+                                         and not args.sharded))
     if args.verbose:
         print(f"INFO: {nx}x{ny}, {ns} spp, scene {args.scene}: "
               f"{SCENE_NAMES[args.scene]}", file=sys.stderr)

@@ -120,19 +120,57 @@ def _light_pdf_at(scene: S.Scene, origin: Vec3, point: Vec3, dir_unit: Vec3,
                   mask):
     """Solid-angle pdf of NEE having sampled the direction that hit a light at
     `point` (uniform light selection x uniform area), used for MIS weighting
-    of BSDF-sampled light hits.  Exact for 1 light (all reference scenes).
-    `mask`: lanes whose value is consumed — others get neutral inputs so
-    reverse-mode can't overflow (double-where pattern)."""
+    of BSDF-sampled light hits.  `mask`: lanes whose value is consumed —
+    others get neutral inputs so reverse-mode can't overflow (double-where
+    pattern).
+
+    With several lights the hit light's row is identified geometrically: the
+    row whose parallelogram (position + a*vec_u + b*vec_v, a,b in [0,1])
+    contains `point`.  Emissive geometry that is NOT registered as a light
+    resolves to pdf 0 — correct, since NEE can never sample it, so the BSDF
+    sample carries full weight (power_heuristic(p, 0) = 1)."""
     lights = scene.lights
-    # nearest light row by emission-surface proximity: scenes have <= 1 light,
-    # so row 0 is exact; with L>1 this is the standard per-hit-light pdf / L.
+    L = max(scene.num_lights, 1)
     d = point - origin
     dist2 = jnp.where(mask, d.dot(d), 1.0)
-    ln = V.v3(lights.normal[0])
-    cos_t = jnp.abs(dir_unit.dot(ln))
-    cos_t = jnp.where(mask & (cos_t > 1e-6), cos_t, 1.0)
-    pdf = dist2 / (lights.area[0] * cos_t)
-    return pdf / np.float32(max(scene.num_lights, 1))
+
+    if L == 1:
+        ln = V.v3(lights.normal[0])
+        area = lights.area[0]
+        cos_t = jnp.abs(dir_unit.dot(ln))
+        cos_t = jnp.where(mask & (cos_t > 1e-6), cos_t, 1.0)
+        return dist2 / (area * cos_t) / np.float32(L)
+
+    # static loop over the (tiny) light table: membership test per row
+    inv_area = jnp.zeros_like(dist2)
+    cos_sel = jnp.ones_like(dist2)
+    found = jnp.zeros_like(mask)
+    for li in range(L):
+        pos = V.v3(lights.position[li])
+        vu = V.v3(lights.vec_u[li])
+        vv = V.v3(lights.vec_v[li])
+        ln = V.v3(lights.normal[li])
+        area = lights.area[li]
+        rel = point - pos
+        # parallelogram coords via the Gram system (exact for any u, v)
+        uu_ = vu.dot(vu)
+        vv_ = vv.dot(vv)
+        uv_ = vu.dot(vv)
+        det = jnp.maximum(uu_ * vv_ - uv_ * uv_, 1e-20)
+        ru = rel.dot(vu)
+        rv = rel.dot(vv)
+        a = (ru * vv_ - rv * uv_) / det
+        b = (rv * uu_ - ru * uv_) / det
+        on_plane = jnp.abs(rel.dot(ln)) < 1e-3 * jnp.sqrt(area)
+        member = (on_plane & (a >= -1e-4) & (a <= 1.0 + 1e-4)
+                  & (b >= -1e-4) & (b <= 1.0 + 1e-4) & ~found)
+        cos_li = jnp.abs(dir_unit.dot(ln))
+        sel = member & mask & (cos_li > 1e-6)
+        inv_area = jnp.where(sel, 1.0 / area, inv_area)
+        cos_sel = jnp.where(sel, cos_li, cos_sel)
+        found = found | member
+    pdf = dist2 * inv_area / cos_sel
+    return pdf / np.float32(L)
 
 
 def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
@@ -312,9 +350,17 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
         # divisions so their (masked-out) cotangents can't overflow to
         # inf/NaN and poison reverse-mode (standard jnp.where-grad trap)
         costa_safe = jnp.where(l_valid, costa, 1.0)
+        # selection-INCLUSIVE pdf (uniform 1/L light choice x uniform area,
+        # mapped to solid angle).  Both the estimator divisor and the MIS
+        # weight must use this same pdf — the reference instead scales
+        # emission by numLights (rectPdf.cu:158-160, value-equivalent) but
+        # weights with the raw per-light pdf, which would mis-weight any
+        # L>1 scene; no live reference scene has L>1.  _light_pdf_at (the
+        # BSDF-side weight) matches this definition.
         l_pdf = jnp.where(
-            l_valid, ldist * ldist / (l_area * costa_safe), 0.0)
-        l_emission = V.gather_rows(lights.emission, li) * np.float32(L)
+            l_valid,
+            ldist * ldist / (np.float32(L) * l_area * costa_safe), 0.0)
+        l_emission = V.gather_rows(lights.emission, li)
 
         # diffuse BSDF toward the light (lambertianMaterial.cu:74-81)
         bsdf_pdf = jnp.maximum(ldir_u.dot(nrm), 0.0) * sm.INV_PI
@@ -432,6 +478,51 @@ class _WavefrontState(NamedTuple):
     pixel: Any         # [N] int32: lane's pixel (rides along under compaction)
     slot: Any          # [N] int32: lane's original position (for un-permute)
     thresh: Any        # scalar int32: alive count at the last compaction
+    stats: Any         # () or WavefrontStats (cfg.bounce_stats)
+
+
+_OCC_TRACE_CAP = 512   # iteration-occupancy trace length (per jitted step)
+
+
+class WavefrontStats(NamedTuple):
+    """Wavefront observability counters (cfg.bounce_stats; SURVEY §5
+    'per-bounce wavefront sizes').  All accumulate additively across tiles
+    and spp chunks."""
+
+    rays_by_depth: Any   # [max_depth] f32: rays traced at each bounce depth
+    iters: Any           # scalar f32: wavefront iterations run
+    alive_sum: Any       # scalar f32: sum over iterations of alive lanes
+    occ_sum: Any         # [CAP] f32: alive lanes at iteration i (summed)
+    occ_cnt: Any         # [CAP] f32: contributions at iteration i
+
+
+def _stats_zero(max_depth: int) -> WavefrontStats:
+    return WavefrontStats(
+        rays_by_depth=jnp.zeros((max_depth,), jnp.float32),
+        iters=jnp.zeros((), jnp.float32),
+        alive_sum=jnp.zeros((), jnp.float32),
+        occ_sum=jnp.zeros((_OCC_TRACE_CAP,), jnp.float32),
+        occ_cnt=jnp.zeros((_OCC_TRACE_CAP,), jnp.float32),
+    )
+
+
+def _stats_update(st: WavefrontStats, alive, depth, it) -> WavefrontStats:
+    """Record one wavefront iteration: `alive` lanes about to trace at
+    per-lane bounce `depth`."""
+    d_cap = st.rays_by_depth.shape[0]
+    a_f = alive.astype(jnp.float32)
+    n_alive = jnp.sum(a_f)
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (d_cap, 1), 0)
+          == jnp.minimum(depth, d_cap - 1)[None, :])
+    counts = jnp.sum(jnp.where(oh, a_f[None, :], 0.0), axis=1)
+    ti = jnp.minimum(it.astype(jnp.int32), _OCC_TRACE_CAP - 1)
+    return WavefrontStats(
+        rays_by_depth=st.rays_by_depth + counts,
+        iters=st.iters + 1.0,
+        alive_sum=st.alive_sum + n_alive,
+        occ_sum=st.occ_sum.at[ti].add(n_alive),
+        occ_cnt=st.occ_cnt.at[ti].add(1.0),
+    )
 
 
 def _alive_first_perm(alive):
@@ -482,6 +573,7 @@ def _permute_wavefront(wf: _WavefrontState, perm) -> _WavefrontState:
         pixel=wf.pixel[perm],
         slot=wf.slot[perm],
         thresh=wf.thresh,
+        stats=wf.stats,
     )
 
 
@@ -512,7 +604,8 @@ def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int, n_samples: int
     accumulator) context through the permutation and is un-permuted by
     `slot` at the end.
 
-    Returns (accum Vec3 [N] = sum over samples [s0, s0+n_samples), rays)."""
+    Returns (accum Vec3 [N] = sum over samples [s0, s0+n_samples), rays,
+    stats) where stats is a WavefrontStats when cfg.bounce_stats else ()."""
     n = pixel_idx.shape[0]
     compacting = _pallas_backend(cfg, scene)
     s_init = jnp.full((n,), s0, jnp.int32)
@@ -530,12 +623,16 @@ def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int, n_samples: int
         pixel=pixel_idx,
         slot=jnp.arange(n, dtype=jnp.int32),
         thresh=jnp.asarray(n, jnp.int32),
+        stats=_stats_zero(cfg.max_depth) if cfg.bounce_stats else (),
     )
 
     def cond(wf):
         return jnp.any(wf.path.alive)
 
     def body(wf):
+        stats = (_stats_update(wf.stats, wf.path.alive, wf.depth,
+                               wf.stats.iters)
+                 if cfg.bounce_stats else ())
         st = bounce_step(scene, cfg, wf.path_keys, wf.path, wf.depth)
         depth = wf.depth + 1
         # a path is finished when the bounce killed it or it hit max_depth
@@ -578,6 +675,7 @@ def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int, n_samples: int
             pixel=wf.pixel,
             slot=wf.slot,
             thresh=wf.thresh,
+            stats=stats,
         )
 
         if not compacting:
@@ -602,9 +700,9 @@ def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int, n_samples: int
 
     wf = lax.while_loop(cond, body, wf)
     if not compacting:
-        return wf.accum, wf.rays          # slot is the identity
+        return wf.accum, wf.rays, wf.stats    # slot is the identity
     zero = jnp.zeros((n,), jnp.float32)
     accum = Vec3(zero.at[wf.slot].set(wf.accum.x),
                  zero.at[wf.slot].set(wf.accum.y),
                  zero.at[wf.slot].set(wf.accum.z))
-    return accum, wf.rays
+    return accum, wf.rays, wf.stats

@@ -102,7 +102,8 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
         @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
         def run(pix, acc, s0, ns):
             def local(pix_local, acc_local):
-                a, rays = trace_wavefront(scene, cfg, pix_local, key, s0, ns)
+                a, rays, _ = trace_wavefront(scene, cfg, pix_local, key,
+                                             s0, ns)
                 return acc_local + a.stack(), lax.psum(rays, "data")
 
             return jax.shard_map(
@@ -130,6 +131,7 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
 
         t_start = _time.perf_counter()
         s0 = spp_done
+        last_ckpt = spp_done
         while s0 < cfg.spp:
             ns = min(chunk, cfg.spp - s0)
             acc, rays = run(pix_sharded, acc, jnp.asarray(s0, jnp.int32), ns)
@@ -140,11 +142,12 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
                 print(f"INFO: {s0}/{cfg.spp} spp done", flush=True)
             if checkpoint_path is not None and (
                     s0 >= cfg.spp or checkpoint_every <= 0
-                    or (s0 - spp_done) % max(checkpoint_every, 1) == 0):
+                    or s0 - last_ckpt >= checkpoint_every):
                 from rtw_tpu.utils import checkpoint as ckpt
 
                 ckpt.save(checkpoint_path, cfg,
                           np.asarray(acc)[:npix], total_rays, s0)
+                last_ckpt = s0
         img_dev = jax.block_until_ready(acc)
         elapsed = _time.perf_counter() - t_start
         img = np.asarray(img_dev)[:npix] / np.float32(cfg.spp)
@@ -163,34 +166,72 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
             raise ValueError(f"spp={cfg.spp} not divisible by {ndev} devices")
         local_spp = cfg.spp // ndev
         pixel_idx = jnp.arange(npix, dtype=jnp.int32)
+        # chunk each device's sample range like the single-device render; the
+        # replicated accumulator persists per chunk, so checkpoint/resume and
+        # progress reporting work exactly as in pixels mode
+        local_chunk = min(max(1, chunk), local_spp)
 
-        @jax.jit
-        def run():
-            def local():
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+        def run(acc, done, ns):
+            def local(acc_local):
                 dev = lax.axis_index("data")
-                s_base = (dev * local_spp).astype(jnp.int32)
+                s_base = (dev * local_spp + done).astype(jnp.int32)
                 # persistent regenerating wavefront over this device's sample
                 # range (replaces the per-sample fori_loop, whose fixed-depth
                 # bounce sweeps ran at ~25% occupancy)
-                acc, rays = trace_wavefront(scene, cfg, pixel_idx, key,
-                                            s_base, local_spp)
-                return lax.psum(acc.stack(), "data"), lax.psum(rays, "data")
+                a, rays, _ = trace_wavefront(scene, cfg, pixel_idx, key,
+                                             s_base, ns)
+                return (acc_local + lax.psum(a.stack(), "data"),
+                        lax.psum(rays, "data"))
 
-            return jax.shard_map(local, mesh=mesh, in_specs=(),
-                                 out_specs=(P(), P()), check_vma=False)()
+            return jax.shard_map(local, mesh=mesh, in_specs=(P(),),
+                                 out_specs=(P(), P()), check_vma=False)(acc)
+
+        acc = jnp.zeros((npix, 3), jnp.float32)
+        total_rays = 0.0
+        done = 0          # samples accumulated per device
+        if checkpoint_path is not None:
+            from rtw_tpu.utils import checkpoint as ckpt
+
+            state = ckpt.load(checkpoint_path, cfg)
+            if state is not None:
+                acc_np, total_rays, done = state
+                acc = jnp.asarray(acc_np)
+                if verbose:
+                    print(f"INFO: resumed at {done}/{local_spp} "
+                          "spp-per-device", flush=True)
 
         t_start = _time.perf_counter()
-        acc, rays = run()
+        s0 = done
+        last_ckpt = done
+        while s0 < local_spp:
+            ns = min(local_chunk, local_spp - s0)
+            acc, rays = run(acc, jnp.asarray(s0, jnp.int32), ns)
+            total_rays += float(rays)
+            s0 += ns
+            if verbose:
+                jax.block_until_ready(acc)
+                print(f"INFO: {s0 * ndev}/{cfg.spp} spp done", flush=True)
+            if checkpoint_path is not None and (
+                    s0 >= local_spp or checkpoint_every <= 0
+                    or (s0 - last_ckpt) * ndev >= checkpoint_every):
+                from rtw_tpu.utils import checkpoint as ckpt
+
+                ckpt.save(checkpoint_path, cfg, np.asarray(acc),
+                          total_rays, s0)
+                last_ckpt = s0
         acc = jax.block_until_ready(acc)
         elapsed = _time.perf_counter() - t_start
         img = np.asarray(acc) / np.float32(cfg.spp)
         if metrics is not None:
-            n_paths = npix * cfg.spp
+            n_paths = npix * (cfg.spp - done * ndev)
             metrics.update(
                 wall_seconds=elapsed, pixels=npix, spp=cfg.spp,
-                devices=ndev, paths=n_paths, rays=float(rays),
+                devices=ndev, paths=n_paths, rays=total_rays,
                 samples_per_sec=n_paths / max(elapsed, 1e-9),
-                mrays_per_sec=float(rays) / max(elapsed, 1e-9) / 1e6,
+                mrays_per_sec=total_rays / max(elapsed, 1e-9) / 1e6,
             )
         return img.reshape(cfg.ny, cfg.nx, 3)
 
@@ -206,14 +247,23 @@ def grad_sharded(scene, cfg, mesh: Mesh, params, target, key, n_samples: int):
 
     ndev = mesh.devices.size
     npix = cfg.num_pixels
-    if npix % ndev != 0:
-        raise ValueError(f"pixel count {npix} not divisible by {ndev} devices")
-    pixel_idx = jnp.arange(npix, dtype=jnp.int32)
-    tgt = jnp.asarray(np.asarray(target).reshape(-1, 3))
+    # pad the pixel axis to a device multiple (same policy as render_sharded);
+    # padded lanes re-trace pixel 0 with weight 0 so they contribute nothing
+    # to the loss or its gradient
+    padded = _pad_to(npix, ndev)
+    pixel_np = np.zeros(padded, np.int32)
+    pixel_np[:npix] = np.arange(npix, dtype=np.int32)
+    weight_np = np.zeros((padded, 1), np.float32)
+    weight_np[:npix] = 1.0
+    tgt_np = np.zeros((padded, 3), np.float32)
+    tgt_np[:npix] = np.asarray(target).reshape(-1, 3)
+    pixel_idx = jnp.asarray(pixel_np)
+    weight = jnp.asarray(weight_np)
+    tgt = jnp.asarray(tgt_np)
 
     @jax.jit
-    def run(params, pix, tgt):
-        def local(params, pix_local, tgt_local):
+    def run(params, pix, tgt, w):
+        def local(params, pix_local, tgt_local, w_local):
             def loss_fn(p):
                 sc = apply_params(scene, p)
 
@@ -227,7 +277,8 @@ def grad_sharded(scene, cfg, mesh: Mesh, params, target, key, n_samples: int):
                 img = acc / np.float32(n_samples)
                 # mean over *global* pixel count so the psum'd grad matches
                 # the single-device estimator
-                return jnp.sum((img - tgt_local) ** 2) / np.float32(npix * 3)
+                return (jnp.sum(w_local * (img - tgt_local) ** 2)
+                        / np.float32(npix * 3))
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             loss = lax.psum(loss, "data")
@@ -236,9 +287,9 @@ def grad_sharded(scene, cfg, mesh: Mesh, params, target, key, n_samples: int):
 
         return jax.shard_map(
             local, mesh=mesh,
-            in_specs=(P(), P("data"), P("data")),
+            in_specs=(P(), P("data"), P("data"), P("data")),
             out_specs=(P(), P()),
             check_vma=False,
-        )(params, pix, tgt)
+        )(params, pix, tgt, w)
 
-    return run(params, pixel_idx, tgt)
+    return run(params, pixel_idx, tgt, weight)

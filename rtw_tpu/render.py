@@ -28,9 +28,12 @@ from rtw_tpu.utils import rng as R
 def _render_tile(scene, cfg, pixel_idx, key, n_samples, accum, s0):
     """Accumulate `n_samples` samples (starting at index s0) for one tile via
     the persistent regenerating wavefront (integrator.trace_wavefront).
-    accum = (radiance_sum [N,3], ray_count scalar)."""
-    acc_v, rays = trace_wavefront(scene, cfg, pixel_idx, key, s0, n_samples)
-    return accum[0] + acc_v.stack(), accum[1] + rays
+    accum = (radiance_sum [N,3], ray_count scalar, stats pytree)."""
+    acc_v, rays, stats = trace_wavefront(scene, cfg, pixel_idx, key, s0,
+                                         n_samples)
+    stats_acc = (jax.tree_util.tree_map(jnp.add, accum[2], stats)
+                 if cfg.bounce_stats else ())
+    return accum[0] + acc_v.stack(), accum[1] + rays, stats_acc
 
 
 def render(scene, cfg, key=None, verbose: bool = False,
@@ -57,8 +60,11 @@ def render(scene, cfg, key=None, verbose: bool = False,
     if pad:
         pixel_idx = pixel_idx.at[npix:].set(0)  # padded lanes recompute pixel 0
 
+    from rtw_tpu.integrator import _stats_zero
+
+    stats0 = _stats_zero(cfg.max_depth) if cfg.bounce_stats else ()
     accums = [(jnp.zeros((batch, 3), jnp.float32),
-               jnp.zeros((), jnp.float32)) for _ in range(n_tiles)]
+               jnp.zeros((), jnp.float32), stats0) for _ in range(n_tiles)]
     spp_done = 0
     if checkpoint_path is not None:
         from rtw_tpu.utils import checkpoint as ckpt
@@ -69,13 +75,16 @@ def render(scene, cfg, key=None, verbose: bool = False,
             per = np.zeros((n_tiles * batch, 3), np.float32)
             per[: acc_np.shape[0]] = acc_np
             accums = [(jnp.asarray(per[i * batch:(i + 1) * batch]),
-                       jnp.zeros((), jnp.float32)) for i in range(n_tiles)]
-            accums[0] = (accums[0][0], jnp.asarray(rays0, jnp.float32))
+                       jnp.zeros((), jnp.float32), stats0)
+                      for i in range(n_tiles)]
+            accums[0] = (accums[0][0], jnp.asarray(rays0, jnp.float32),
+                         stats0)
             if verbose:
                 print(f"INFO: resumed at {spp_done}/{cfg.spp} spp", flush=True)
 
     t_start = _time.perf_counter()
     s0 = spp_done
+    last_ckpt = spp_done
     while s0 < cfg.spp:
         ns = min(chunk, cfg.spp - s0)
         for ti in range(n_tiles):
@@ -86,14 +95,18 @@ def render(scene, cfg, key=None, verbose: bool = False,
         if verbose:
             jax.block_until_ready(accums[-1][0])
             print(f"INFO: {s0}/{cfg.spp} spp done", flush=True)
+        # checkpoint whenever >= checkpoint_every samples accumulated since
+        # the last save (not an exact-multiple test: spp chunks need not
+        # divide checkpoint_every), and always at the end
         if checkpoint_path is not None and (
                 s0 >= cfg.spp or checkpoint_every <= 0
-                or (s0 - spp_done) % max(checkpoint_every, 1) == 0):
+                or s0 - last_ckpt >= checkpoint_every):
             from rtw_tpu.utils import checkpoint as ckpt
 
             acc_np = np.concatenate([np.asarray(a[0]) for a in accums])[:npix]
             rays_np = float(sum(float(a[1]) for a in accums))
             ckpt.save(checkpoint_path, cfg, acc_np, rays_np, s0)
+            last_ckpt = s0
 
     img = jnp.concatenate([a[0] for a in accums], axis=0)[:npix] / np.float32(cfg.spp)
     img = jax.block_until_ready(img)
@@ -111,6 +124,26 @@ def render(scene, cfg, key=None, verbose: bool = False,
             samples_per_sec=n_paths / max(elapsed, 1e-9),
             mrays_per_sec=total_rays / max(elapsed, 1e-9) / 1e6,
         )
+        if cfg.bounce_stats:
+            st = accums[0][2]
+            for a in accums[1:]:
+                st = jax.tree_util.tree_map(jnp.add, st, a[2])
+            st = jax.tree_util.tree_map(np.asarray, st)
+            metrics.update(
+                rays_by_depth=[float(x) for x in st.rays_by_depth],
+                wavefront_iterations=float(st.iters),
+                # mean alive-lane fraction across all wavefront iterations
+                mean_occupancy=float(st.alive_sum)
+                / max(float(st.iters) * batch, 1.0),
+                # mean alive lanes at iteration i of a jitted step (the
+                # regeneration plateau and the drain-tail decay are visible
+                # here; iterations beyond the trace cap accumulate into the
+                # last entry)
+                occupancy_by_iter=[
+                    float(s / c) / batch
+                    for s, c in zip(st.occ_sum, st.occ_cnt)
+                    if c >= 1.0],
+            )
 
     return img.reshape(cfg.ny, cfg.nx, 3)
 

@@ -78,6 +78,14 @@ class RenderConfig:
     # All make the estimator independent of device count / mesh shape.
     rng: str = "fast"
 
+    # Wavefront observability ------------------------------------------------
+    # Collect per-bounce ray counts and per-iteration alive-lane occupancy
+    # inside the persistent wavefront (reported via the render() metrics
+    # dict: rays_by_depth, occupancy_by_iter, mean_occupancy).  Costs one
+    # [max_depth, N] masked reduction per iteration — off by default so
+    # benches stay clean; the CLI enables it with --metrics-json.
+    bounce_stats: bool = False
+
     # Differentiability ------------------------------------------------------
     # When True the bounce loop uses lax.scan with a static trip count so
     # reverse-mode AD works; when False a lax.while_loop early-exits once all

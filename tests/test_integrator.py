@@ -136,6 +136,33 @@ def test_nan_free_all_scenes():
         assert np.isfinite(img).all(), f"scene {sid} produced non-finite"
 
 
+def test_bounce_stats_metrics():
+    """cfg.bounce_stats populates per-bounce ray counts and occupancy in the
+    metrics dict without changing the image (SURVEY §5 wavefront metrics)."""
+    cfg = rt.RenderConfig(nx=40, ny=24, spp=4, max_depth=8, scene_id=5,
+                          bounce_stats=True)
+    scene = rt.build_scene(5, cfg.nx, cfg.ny)
+    m = {}
+    img = np.asarray(rt.render(scene, cfg, metrics=m))
+
+    cfg_off = rt.RenderConfig(nx=40, ny=24, spp=4, max_depth=8, scene_id=5)
+    img_off = np.asarray(rt.render(scene, cfg_off))
+    np.testing.assert_array_equal(img, img_off)
+
+    rbd = m["rays_by_depth"]
+    assert len(rbd) == cfg.max_depth
+    # every path has a depth-0 ray: spp * pixels of them
+    assert rbd[0] == cfg.spp * cfg.num_pixels
+    # deeper bounces are rarer (RR + termination)
+    assert rbd[-1] <= rbd[2]
+    # bounce rays (sans NEE shadow rays) must total the depth histogram
+    assert sum(rbd) <= m["rays"]
+    assert 0.0 < m["mean_occupancy"] <= 1.0
+    assert m["wavefront_iterations"] >= cfg.max_depth
+    occ = m["occupancy_by_iter"]
+    assert occ and occ[0] == 1.0 and occ[-1] <= occ[0]
+
+
 def test_mis_unbiased_vs_bsdf_only():
     """NEE + power-heuristic MIS must estimate the same image as brute-force
     BSDF-only path tracing (SURVEY §4 tier 2: MIS estimator unbiasedness on
@@ -153,3 +180,46 @@ def test_mis_unbiased_vs_bsdf_only():
     bsdf_cfg = rt.RenderConfig(nx=24, ny=24, spp=6000, max_depth=12, seed=8)
     bsdf = _render_mean(bsdf_scene, bsdf_cfg).mean()
     assert abs(mis - bsdf) / bsdf < 0.04, (mis, bsdf)
+
+
+def test_mis_unbiased_two_lights():
+    """MIS with L>1 lights must match brute-force BSDF-only path tracing.
+
+    The scene is built so two historical L>1 bugs each produce a LARGE bias:
+    a tiny decoy light occupies row 0 and a huge close ceiling light (whose
+    BSDF-side weight should be ~1) dominates an indirect-only view.
+    - row-0 hardcoded BSDF-side pdf (pre-fix _light_pdf_at): weights the big
+      light's hits with the decoy's area -> w_bsdf ~ 0 -> measured -71% bias.
+    - NEE weight with the raw per-light pdf while the BSDF side divides by L
+      (selection-inclusive): weights no longer sum to 1 -> measured +12%.
+    Fixed code agrees with BSDF-only to ~0.01% at these sample counts."""
+    import dataclasses
+
+    def build():
+        b = SceneBuilder()
+        grey = b.lambertian(b.constant_texture((0.7, 0.7, 0.7)))
+        b.rect(-8, 8, -8, 8, 0.0, False, S.AXIS_Y, grey)      # floor
+        # row 0: tiny decoy light far away
+        em_t = b.diffuse_light(b.constant_texture((1.0, 1.0, 1.0)))
+        b.rect(7.0, 7.1, 7.0, 7.1, 4.0, True, S.AXIS_Y, em_t)
+        b.add_light(position=(7.0, 4.0, 7.0), vec_u=(0.1, 0.0, 0.0),
+                    vec_v=(0.0, 0.0, 0.1), emission=(1.0, 1.0, 1.0))
+        # row 1: giant ceiling light right above the viewed floor patch
+        em_b = b.diffuse_light(b.constant_texture((1.0, 1.0, 1.0)))
+        b.rect(-4.0, 4.0, -4.0, 4.0, 1.5, True, S.AXIS_Y, em_b)
+        b.add_light(position=(-4.0, 1.5, -4.0), vec_u=(8.0, 0.0, 0.0),
+                    vec_v=(0.0, 0.0, 8.0), emission=(1.0, 1.0, 1.0))
+        # camera just above the floor looking straight down (never sees
+        # a light directly — the image is pure one-bounce-indirect)
+        b.set_camera((0, 0.5, 0), (0, 0.0, 0), (1, 0, 0), 60, 1.0, 0.0, 0.5)
+        return b.build()
+
+    scene = build()
+    assert scene.num_lights == 2
+    mis_cfg = rt.RenderConfig(nx=24, ny=24, spp=400, max_depth=6, seed=11)
+    mis = _render_mean(scene, mis_cfg).mean()
+
+    bsdf_scene = dataclasses.replace(scene, num_lights=0)
+    bsdf_cfg = rt.RenderConfig(nx=24, ny=24, spp=3000, max_depth=6, seed=12)
+    bsdf = _render_mean(bsdf_scene, bsdf_cfg).mean()
+    assert abs(mis - bsdf) / bsdf < 0.03, (mis, bsdf)

@@ -100,6 +100,51 @@ def test_sharded_checkpoint_resume(small_setup, tmp_path):
     np.testing.assert_array_equal(resumed, ref)
 
 
+def test_grad_sharded_pads_odd_pixel_count(small_setup):
+    """grad_sharded must accept pixel counts that don't divide the device
+    count (padded lanes carry weight 0) and agree with a 1-device run."""
+    scene, _ = small_setup
+    # 42*3 = 126 pixels, not divisible by 8 (or 4)
+    cfg = rt.RenderConfig(nx=42, ny=3, spp=2, max_depth=3, scene_id=5,
+                          differentiable=True)
+    key = R.base_key(0)
+    params = extract_params(scene)
+    target = np.zeros((cfg.ny, cfg.nx, 3), np.float32)
+    mesh1 = make_mesh(jax.devices()[:1])
+    mesh8 = make_mesh(jax.devices()[:8])
+    l1, g1 = grad_sharded(scene, cfg, mesh1, params, target, key, n_samples=2)
+    l8, g8 = grad_sharded(scene, cfg, mesh8, params, target, key, n_samples=2)
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4)
+
+
+def test_checkpoint_every_non_divisible(small_setup, tmp_path):
+    """checkpoint_every that is not a multiple of the spp chunk must still
+    fire (>= threshold since last save, not exact-multiple)."""
+    scene, _ = small_setup
+    cfg = rt.RenderConfig(nx=40, ny=16, spp=8, max_depth=4, scene_id=5,
+                          spp_chunk=2)
+    path = str(tmp_path / "odd.ckpt")
+    from rtw_tpu.utils import checkpoint as ckpt
+    saves = []
+    orig = ckpt.save
+
+    def spy(path_, cfg_, acc, rays, spp):
+        saves.append(spp)
+        return orig(path_, cfg_, acc, rays, spp)
+
+    ckpt.save = spy
+    try:
+        rt.render(scene, cfg, checkpoint_path=path, checkpoint_every=3)
+    finally:
+        ckpt.save = orig
+    # chunks land at 2,4,6,8; >=3-since-last-save fires at 4 and 8 (end)
+    assert saves == [4, 8], saves
+
+
 def test_sample_sharding_metrics(small_setup):
     scene, cfg = small_setup
     mesh = make_mesh(jax.devices()[:8])
