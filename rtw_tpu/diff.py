@@ -84,6 +84,68 @@ def make_loss_and_grad(scene: S.Scene, cfg, n_samples: int):
     return jax.jit(jax.value_and_grad(loss_fn))
 
 
+def make_loss_and_grad_chunked(scene: S.Scene, cfg, n_samples: int,
+                               spp_chunk: int):
+    """MSE loss + gradient with **constant memory in spp** — the scaled-up
+    gradient path (SURVEY §7.3 "backward-pass memory": chunk samples,
+    grad-accumulate over spp batches; pairs with cfg.remat inside each
+    chunk's bounce scan).
+
+    The MSE couples samples only through the *mean image*, so:
+        dL/dp = vjp(mean_img)(2 (img - target) / (N pixels * 3))
+              = sum_chunks vjp(chunk_sum)(cot) / n_samples.
+    Pass 1 accumulates the image with no AD residuals; pass 2 re-renders
+    each chunk under jax.vjp against the fixed cotangent.  Peak memory is
+    one chunk's backward, independent of n_samples (compute cost: one extra
+    forward per chunk, same as any gradient-accumulation scheme).
+
+    Returns fn(params, target, pixel_idx, key) -> (loss, grads)."""
+    if not cfg.differentiable:
+        raise ValueError("cfg.differentiable must be True for gradients")
+    chunks = []
+    s0 = 0
+    while s0 < n_samples:
+        chunks.append((s0, min(spp_chunk, n_samples - s0)))
+        s0 += chunks[-1][1]
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def chunk_sum(params, pixel_idx, key, s0, ns):
+        sc = apply_params(scene, params)
+
+        def body(i, acc):
+            return acc + trace_paths(sc, cfg, pixel_idx, s0 + i, key)
+
+        return lax.fori_loop(0, ns, body,
+                             jnp.zeros((pixel_idx.shape[0], 3), jnp.float32))
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def chunk_vjp(params, pixel_idx, key, cot, s0, ns):
+        _, vjp_fn = jax.vjp(
+            lambda p: chunk_sum(p, pixel_idx, key, s0, ns), params)
+        return vjp_fn(cot)[0]
+
+    def run(params, target, pixel_idx, key):
+        n = pixel_idx.shape[0]
+        img = jnp.zeros((n, 3), jnp.float32)
+        for s0, ns in chunks:
+            img = img + chunk_sum(params, pixel_idx, key,
+                                  jnp.asarray(s0, jnp.int32), ns)
+        img = img / np.float32(n_samples)
+        loss = jnp.mean((img - target) ** 2)
+        cot = 2.0 * (img - target) / np.float32(n * 3 * n_samples)
+        grads = None
+        for s0, ns in chunks:
+            g = chunk_vjp(params, pixel_idx, key, cot,
+                          jnp.asarray(s0, jnp.int32), ns)
+            grads = g if grads is None else jax.tree_util.tree_map(
+                jnp.add, grads, g)
+        return loss, grads
+
+    return run
+
+
 def finite_difference_check(scene: S.Scene, cfg, pixel_idx, key, n_samples,
                             select, eps=1e-3):
     """Central finite differences of the same estimator w.r.t. a single

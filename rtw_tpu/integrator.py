@@ -441,6 +441,13 @@ def trace_paths_counted(scene: S.Scene, cfg, pixel_idx, sample_idx, key):
         def scan_body(st, bounce):
             return bounce_step(scene, cfg, path_keys, st, bounce), None
 
+        if cfg.remat:
+            # rematerialize each bounce in the backward sweep: the saved
+            # residuals drop from every intermediate of the bounce body
+            # (~dozens of [N] planes x max_depth) to just the carried
+            # PathState per bounce — the memory plan that makes full-image
+            # gradient renders fit (SURVEY §7.3 "backward-pass memory")
+            scan_body = jax.checkpoint(scan_body)
         state, _ = lax.scan(scan_body, state, jnp.arange(cfg.max_depth))
     else:
         def cond(carry):
@@ -577,7 +584,40 @@ def _permute_wavefront(wf: _WavefrontState, perm) -> _WavefrontState:
     )
 
 
-def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int, n_samples: int):
+def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int,
+                    n_samples: int):
+    """Dispatch to the configured wavefront scheduler (cfg.scheduler).
+
+    "queue" (default): global work-queue scheduler — lanes that finish a
+    sample claim ANY pixel's next sample, so per-pixel difficulty variance
+    (glass/volume pixels trace 5-10x more bounces than sky pixels) cannot
+    strand the wavefront at single-digit occupancy.  Per-pixel sums are
+    exact but floating-point addition order follows claim order, so images
+    are deterministic for a fixed (config, batch width) yet not bitwise
+    identical across different batch/mesh widths.
+
+    "regen": per-lane regeneration — each lane owns one pixel and renders
+    its samples in ascending order, making the image bitwise independent of
+    batch width and mesh shape (the distributed-determinism mode).  Costs
+    long drain tails on scenes with uneven pixel difficulty (measured TNW:
+    135 iterations at 17% mean occupancy vs ~45 at ~70% for the queue).
+    """
+    sched = cfg.scheduler
+    if sched == "auto":
+        # queue pays for itself when pixel-difficulty variance strands the
+        # wavefront — the >=128-prim Pallas scenes.  Small scenes run the
+        # pure-XLA sweep whose whole bounce fuses into a handful of kernels;
+        # there the queue's lax.cond flush would split that fusion (measured
+        # 3.6x on Cornell for the same reason compaction is compiled out).
+        sched = "queue" if _pallas_backend(cfg, scene) else "regen"
+    if sched == "queue":
+        return trace_wavefront_queue(scene, cfg, pixel_idx, key, s0,
+                                     n_samples)
+    return trace_wavefront_regen(scene, cfg, pixel_idx, key, s0, n_samples)
+
+
+def trace_wavefront_regen(scene: S.Scene, cfg, pixel_idx, key, s0: int,
+                          n_samples: int):
     """Persistent wavefront with ray regeneration — the TPU answer to the
     occupancy collapse of a fixed-depth bounce loop.
 
@@ -706,3 +746,195 @@ def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int, n_samples: int
                  zero.at[wf.slot].set(wf.accum.y),
                  zero.at[wf.slot].set(wf.accum.z))
     return accum, wf.rays, wf.stats
+
+
+class _QueueState(NamedTuple):
+    """Work-queue wavefront carry.  `accum` is indexed by ITEM POSITION
+    (row r sums pixel_idx[r]'s samples), so lane permutations never touch
+    it — each lane carries `item_pos` pointing at its row."""
+
+    path: PathState
+    path_keys: Any     # per-path RNG state
+    depth: Any         # [N] int32: bounce index of the lane's current path
+    item_pos: Any      # [N] int32: row of accum this lane's sample belongs to
+    sample: Any        # [N] int32: sample index of the lane's current item
+    pixel: Any         # [N] int32: pixel id of the lane's current item
+    pending: Any       # [N] bool: finished, contribution not yet flushed
+    accum: Vec3        # [N] planes: per-position radiance sums
+    rays: Any          # scalar f32
+    cursor: Any        # scalar int32: next unclaimed item
+    thresh: Any        # scalar int32: alive count at the last compaction
+    stats: Any         # () or WavefrontStats
+
+
+_FLUSH_DENOM = 0   # 0 = flush every iteration; k>0 = flush at pending > N/k
+
+
+def _permute_queue(wf: _QueueState, perm) -> _QueueState:
+    """Lane permutation of the queue carry.  accum/cursor/rays stay put:
+    accum rows are addressed by the carried item_pos values."""
+    p = wf.path
+    path = PathState(
+        origin=Vec3(p.origin.x[perm], p.origin.y[perm], p.origin.z[perm]),
+        direction=Vec3(p.direction.x[perm], p.direction.y[perm],
+                       p.direction.z[perm]),
+        throughput=Vec3(p.throughput.x[perm], p.throughput.y[perm],
+                        p.throughput.z[perm]),
+        radiance=Vec3(p.radiance.x[perm], p.radiance.y[perm],
+                      p.radiance.z[perm]),
+        alive=p.alive[perm],
+        time=p.time[perm],
+        prev_pdf=p.prev_pdf[perm],
+        prev_diffuse=p.prev_diffuse[perm],
+        ray_count=p.ray_count,
+    )
+    return wf._replace(path=path, path_keys=wf.path_keys[perm],
+                       depth=wf.depth[perm], item_pos=wf.item_pos[perm],
+                       sample=wf.sample[perm], pixel=wf.pixel[perm],
+                       pending=wf.pending[perm])
+
+
+def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
+                          n_samples: int):
+    """Persistent wavefront with a GLOBAL work queue — the full TPU
+    replacement for OptiX's hardware thread scheduler.
+
+    Work items are (pixel, sample) pairs, enumerated sample-major:
+    item i = (pixel_idx[i mod N], s0 + i div N).  Every lane starts on item
+    = its own index; the moment a lane's path terminates it scatter-adds the
+    finished sample into its accum row and claims item `cursor + rank`
+    (rank = its position among this iteration's finishers), so occupancy
+    stays ~100% until the global queue drains, with a tail bounded by ONE
+    path length (~max_depth) instead of a whole straggler pixel's sample
+    budget.  Versus per-lane regeneration (trace_wavefront_regen), which
+    measured 135 iterations at 17% occupancy on TNW-final because glass /
+    volume pixels trace 5-10x the bounces of sky pixels: the per-iteration
+    full-width XLA shading work is the dominant cost, so idle lanes bill
+    almost as much as live ones.
+
+    Estimator: identical samples (RNG is keyed by logical (pixel, sample)
+    only); per-pixel sums are reassociated in claim order, so the image is
+    deterministic for fixed batch width but not bit-identical across batch
+    widths — use cfg.scheduler="regen" for bitwise mesh-shape invariance.
+
+    Claims are rank-ordered, so consecutive finishers take consecutive
+    items = spatially adjacent pixels under render.tile_permutation — tile
+    coherence degrades gracefully instead of collapsing.
+
+    Returns (accum Vec3 [N] positional sums, rays, stats)."""
+    n = pixel_idx.shape[0]
+    compacting = _pallas_backend(cfg, scene)
+    n_items = n * n_samples
+    s_init = jnp.full((n,), s0, jnp.int32)
+    path_keys = R.make_path_keys(key, pixel_idx, s_init, cfg.rng)
+    path = generate_camera_rays(scene, cfg, pixel_idx, path_keys)
+
+    wf = _QueueState(
+        path=path,
+        path_keys=path_keys,
+        depth=jnp.zeros((n,), jnp.int32),
+        item_pos=jnp.arange(n, dtype=jnp.int32),
+        sample=s_init,
+        pixel=pixel_idx,
+        pending=jnp.zeros((n,), bool),
+        accum=V.zeros(n),
+        rays=jnp.zeros((), jnp.float32),
+        cursor=jnp.asarray(n, jnp.int32),
+        thresh=jnp.asarray(n, jnp.int32),
+        stats=_stats_zero(cfg.max_depth) if cfg.bounce_stats else (),
+    )
+
+    def cond(wf):
+        return jnp.any(wf.path.alive) | jnp.any(wf.pending)
+
+    def flush(w: _QueueState) -> _QueueState:
+        """Scatter every pending lane's finished sample into its accum row
+        and claim it a new item (cursor + rank among pending)."""
+        pend = w.pending
+        rad = Vec3(*(jnp.nan_to_num(c, nan=0.0, posinf=0.0, neginf=0.0)
+                     for c in w.path.radiance))   # scrub per sample
+        accum = Vec3(
+            w.accum.x.at[w.item_pos].add(jnp.where(pend, rad.x, 0.0)),
+            w.accum.y.at[w.item_pos].add(jnp.where(pend, rad.y, 0.0)),
+            w.accum.z.at[w.item_pos].add(jnp.where(pend, rad.z, 0.0)),
+        )
+        fin = pend.astype(jnp.int32)
+        rank = jnp.cumsum(fin) - 1
+        new_item = w.cursor + rank
+        have = pend & (new_item < n_items)
+        q = new_item // n
+        pos = jnp.where(have, new_item - q * n, w.item_pos)
+        sample = jnp.where(have, s0 + q, w.sample)
+        pixel = jnp.where(have, pixel_idx[jnp.minimum(pos, n - 1)], w.pixel)
+
+        new_keys = R.make_path_keys(key, pixel, sample, cfg.rng)
+        fresh = generate_camera_rays(scene, cfg, pixel, new_keys)
+        p = w.path
+        path = PathState(
+            origin=V.where(have, fresh.origin, p.origin),
+            direction=V.where(have, fresh.direction, p.direction),
+            throughput=V.where(have, fresh.throughput, p.throughput),
+            radiance=V.where(pend, fresh.radiance, p.radiance),
+            alive=p.alive | have,
+            time=jnp.where(have, fresh.time, p.time),
+            prev_pdf=jnp.where(have, fresh.prev_pdf, p.prev_pdf),
+            prev_diffuse=jnp.where(have, fresh.prev_diffuse, p.prev_diffuse),
+            ray_count=p.ray_count,
+        )
+        return w._replace(
+            path=path,
+            path_keys=jnp.where(have, new_keys, w.path_keys),
+            depth=jnp.where(have, 0, w.depth),
+            item_pos=pos, sample=sample, pixel=pixel,
+            pending=jnp.zeros_like(pend),
+            accum=accum,
+            cursor=w.cursor + jnp.sum(fin),
+        )
+
+    def body(wf):
+        stats = (_stats_update(wf.stats, wf.path.alive, wf.depth,
+                               wf.stats.iters)
+                 if cfg.bounce_stats else ())
+        st = bounce_step(scene, cfg, wf.path_keys, wf.path, wf.depth)
+        depth = wf.depth + 1
+        finished = wf.path.alive & (~st.alive | (depth >= cfg.max_depth))
+        pending = wf.pending | finished
+        running = st.alive & ~finished
+
+        nwf = wf._replace(
+            path=st._replace(alive=running), depth=depth,
+            pending=pending, rays=st.ray_count, stats=stats,
+        )
+
+        # Flush policy (measured on one chip, scenes 1/4): running the
+        # scatter + cumsum + RNG-rekey + camera-regen block EVERY iteration
+        # beats parking pending lanes behind a lax.cond threshold — the cond
+        # forces the whole ~35-plane carry through a conditional boundary
+        # each iteration, which costs more than the flush work it skips
+        # (scene 4: 6.2 vs 5.2 Mrays/s, scene 1: 8.7 vs 6.2).
+        if _FLUSH_DENOM <= 0:
+            nwf = flush(nwf)
+        else:
+            n_pend = jnp.sum(pending.astype(jnp.int32))
+            n_run = jnp.sum(running.astype(jnp.int32))
+            do_flush = (n_pend * _FLUSH_DENOM >= n) | ((n_run == 0)
+                                                       & (n_pend > 0))
+            nwf = lax.cond(do_flush, flush, lambda w: w, nwf)
+
+        if not compacting:
+            return nwf
+
+        # drain-tail compaction (see trace_wavefront_regen): only the global
+        # end-of-queue tail remains, but its all-dead tiles still resolve at
+        # slab-test cost when packed together
+        n_alive = jnp.sum(nwf.path.alive.astype(jnp.int32))
+        do_compact = (n_alive * 2 < nwf.thresh) & (n_alive > 0)
+
+        def compact(w):
+            w = _permute_queue(w, _alive_first_perm(w.path.alive))
+            return w._replace(thresh=n_alive)
+
+        return lax.cond(do_compact, compact, lambda w: w, nwf)
+
+    wf = lax.while_loop(cond, body, wf)
+    return wf.accum, wf.rays, wf.stats

@@ -109,7 +109,7 @@ def _prim_aabb(p: "_Prim") -> tuple[np.ndarray, np.ndarray]:
         lo[axis] = hi[axis] = q[4]
         lo[ia], hi[ia] = q[0], q[1]
         lo[ib], hi[ib] = q[2], q[3]
-    elif p.ptype == S.PRIM_VOLUME_BOX:
+    elif p.ptype in (S.PRIM_VOLUME_BOX, S.PRIM_BOX):
         lo, hi = q[0:3], q[3:6]
     else:  # pragma: no cover
         raise ValueError(p.ptype)
@@ -246,8 +246,21 @@ class SceneBuilder:
                                  material, transform, axis=axis))
 
     def box(self, bmin, bmax, material: int, transform=None):
+        """Solid axis-aligned box — ONE slab-test primitive where the
+        reference composes 6 AARects (ioGeometryGroup.h:27-41 createBox).
+        Identical hits, outward normals and per-face uv (ops/intersect.box_t
+        / _box_payload); 1/6 the primitive count matters because the trace
+        sweep cost is linear in live primitives (TNW-final: 2400 ground
+        rects -> 400 boxes)."""
+        self._prims.append(_Prim(S.PRIM_BOX,
+                                 self._params(*bmin, *bmax), material,
+                                 transform))
+
+    def box_rects(self, bmin, bmax, material: int, transform=None):
         """Axis-aligned box from 6 rects, in the exact order/flip layout of
-        ioGeometryGroup.h createBox (outward normals: flip at min faces)."""
+        ioGeometryGroup.h createBox (outward normals: flip at min faces).
+        Kept as the reference composite for equivalence tests against the
+        PRIM_BOX collapse."""
         x0, y0, z0 = bmin
         x1, y1, z1 = bmax
         self.rect(x0, x1, y0, y1, z0, True, S.AXIS_Z, material, transform)
@@ -293,7 +306,15 @@ class SceneBuilder:
                                      aperture, focus_dist, t0, t1)
 
     # --- build ------------------------------------------------------------
-    def build(self, chunk_size: int = 256) -> S.Scene:
+    def build(self, chunk_size: int = 64) -> S.Scene:
+        """Freeze into the device Scene pytree.
+
+        `chunk_size`: primitives per block for groups larger than one block.
+        64 (not 256): blocks are the culling granule of the trace kernels'
+        front-to-back traversal (ops/trace_kernel._dyn_nearest) — finer
+        blocks mean tighter AABBs and more skippable work, while the
+        per-block loop overhead (one [B, n] key reduction + argmin) is
+        negligible next to a 64-prim block test."""
         if self._camera is None:
             raise ValueError("scene has no camera")
         if not self._prims:

@@ -25,6 +25,7 @@ PRIM_RECT = 1            # params: a0 a1 b0 b1 k axis flip
 PRIM_MOVING_SPHERE = 2   # params: cx cy cz r cx1 cy1 cz1 t0 t1
 PRIM_VOLUME_SPHERE = 3   # params: cx cy cz r density
 PRIM_VOLUME_BOX = 4      # params: minx miny minz maxx maxy maxz density
+PRIM_BOX = 5             # params: minx miny minz maxx maxy maxz
 NUM_PRIM_PARAMS = 9
 
 AXIS_X = 0

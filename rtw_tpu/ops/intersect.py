@@ -155,6 +155,62 @@ def volume_sphere_t(params, o, d, tmin, tmax, u):
     return _volume_t(t1, t2, valid, _col(params, 4), u, tmin, tmax, d_len)
 
 
+def box_t(params, o, d, tmin, tmax):
+    """Solid axis-aligned box via one slab test — the TPU-native collapse of
+    the reference's 6-AARect composite (ioGeometryGroup.h:27-41 createBox):
+    identical hits at 1/6 the primitive count.  Entry hit at `near` when the
+    origin is outside, exit hit at `far` when inside — exactly which of the
+    six rects the composite would report."""
+    bmin = Vec3(_col(params, 0), _col(params, 1), _col(params, 2))
+    bmax = Vec3(_col(params, 3), _col(params, 4), _col(params, 5))
+    near, far = _box_roots(o, d, bmin, bmax)
+    t = jnp.where((near > tmin) & (near < tmax), near,
+                  jnp.where((far > tmin) & (far < tmax), far, BIG))
+    return jnp.where(near <= far, t, BIG)
+
+
+def _box_payload(p9, o: Vec3, d: Vec3, t, tmin):
+    """Hit face (outward normal) + per-face uv of the box prim, matching the
+    createBox rect layout: Z faces uv from (x, y), Y faces from (x, z),
+    X faces from (y, z) (builder.box face rect params)."""
+    point = o + d * t
+    bmin = [p9[0], p9[1], p9[2]]
+    bmax = [p9[3], p9[4], p9[5]]
+    # recompute the slab ts at the winning prim to identify the face axis
+    tns, tfs = [], []
+    for ax in range(3):
+        dk = d[ax]
+        inv = 1.0 / jnp.where(dk == 0.0, 1e-30, dk)
+        t0 = (bmin[ax] - o[ax]) * inv
+        t1 = (bmax[ax] - o[ax]) * inv
+        tns.append(jnp.minimum(t0, t1))
+        tfs.append(jnp.maximum(t0, t1))
+    near = jnp.maximum(jnp.maximum(tns[0], tns[1]), tns[2])
+    entry = near > tmin    # same branch box_t used to pick near vs far
+    # entry face: axis attaining `near`; exit face: axis attaining `far`
+    sel = []
+    for ax in range(3):
+        is_near = tns[ax] >= jnp.maximum(tns[(ax + 1) % 3], tns[(ax + 2) % 3])
+        is_far = tfs[ax] <= jnp.minimum(tfs[(ax + 1) % 3], tfs[(ax + 2) % 3])
+        # boolean combine, not jnp.where: Mosaic cannot select i1 vectors
+        sel.append((entry & is_near) | (~entry & is_far))
+    # break argmax ties deterministically: first axis wins
+    sel[1] = sel[1] & ~sel[0]
+    sel[2] = sel[2] & ~sel[0] & ~sel[1]
+    d_sign = [jnp.where(d[ax] >= 0.0, 1.0, -1.0) for ax in range(3)]
+    # entering with d>0 crosses the min face (outward normal -axis)
+    n_sign = [jnp.where(entry, -d_sign[ax], d_sign[ax]) for ax in range(3)]
+    normal = Vec3(*(jnp.where(sel[ax], n_sign[ax], 0.0) for ax in range(3)))
+    zero = jnp.zeros_like(t)
+    uu, vv = zero, zero
+    for ax, (ia, ib) in ((0, (1, 2)), (1, (0, 2)), (2, (0, 1))):
+        fu = (point[ia] - bmin[ia]) / jnp.maximum(bmax[ia] - bmin[ia], 1e-20)
+        fv = (point[ib] - bmin[ib]) / jnp.maximum(bmax[ib] - bmin[ib], 1e-20)
+        uu = jnp.where(sel[ax], fu, uu)
+        vv = jnp.where(sel[ax], fv, vv)
+    return point, normal, uu, vv
+
+
 def volume_box_t(params, o, d, tmin, tmax, u):
     bmin = Vec3(_col(params, 0), _col(params, 1), _col(params, 2))
     bmax = Vec3(_col(params, 3), _col(params, 4), _col(params, 5))
@@ -206,6 +262,8 @@ def _block_t(ptype, axis, has_xform, params, w2o, slots, o, d, tmin, tmax,
         t = moving_sphere_t(params, o_obj, d_obj, tmin, tmax, time)
     elif ptype == S.PRIM_RECT:
         t = rect_t(params, o_obj, d_obj, tmin, tmax, axis)
+    elif ptype == S.PRIM_BOX:
+        t = box_t(params, o_obj, d_obj, tmin, tmax)
     elif ptype in (S.PRIM_VOLUME_SPHERE, S.PRIM_VOLUME_BOX):
         u = vol_u[jnp.maximum(slots, 0)]  # [C, N]
         fn = volume_sphere_t if ptype == S.PRIM_VOLUME_SPHERE else volume_box_t
@@ -275,14 +333,17 @@ def _sphere_uv(n: Vec3):
 
 
 def _payload(ptype: int, axis: int, p9, o: Vec3, d: Vec3, t, time,
-             sphere_uv=None):
+             sphere_uv=None, tmin=0.0):
     """Object-space hit payload for one gathered prim per ray.
     p9: list of 9 [N] param planes; o, d Vec3 [N]; t [N].
     `sphere_uv` overrides the spherical-uv map (the Pallas kernel passes a
     polynomial atan2/asin since Mosaic has no transcendental lowering).
+    `tmin` is consumed only by the box payload (entry-vs-exit face choice).
     Returns (point Vec3, normal Vec3, u, v)."""
     if sphere_uv is None:
         sphere_uv = _sphere_uv
+    if ptype == S.PRIM_BOX:
+        return _box_payload(p9, o, d, t, tmin)
     point = o + d * t
     zero = jnp.zeros_like(t)
     if ptype == S.PRIM_SPHERE:
@@ -375,7 +436,7 @@ def intersect_scene(scene, o: Vec3, d: Vec3, tmin, tmax, time, vol_u) -> Hit:
         in_group = hit_mask & (safe_prim >= start) & (safe_prim < start + size)
         o_sel, d_sel = (o_x, d_x) if has_xform else (o, d)
         g_point, g_normal, g_u, g_v = _payload(ptype, axis, p9, o_sel,
-                                               d_sel, t_pay, time)
+                                               d_sel, t_pay, time, tmin=tmin)
         if has_xform:
             g_point = Vec3(
                 o2w_g[0][0] * g_point.x + o2w_g[0][1] * g_point.y

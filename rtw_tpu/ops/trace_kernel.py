@@ -155,6 +155,8 @@ def _block_test(props_ref, vu_ref, vol_slots, entry, b0, o, d, tmin, tmax,
         t = I.moving_sphere_t(params, oo, dd, tmin, tmax, time)
     elif ptype == S.PRIM_RECT:
         t = I.rect_t(params, oo, dd, tmin, tmax, axis)
+    elif ptype == S.PRIM_BOX:
+        t = I.box_t(params, oo, dd, tmin, tmax)
     elif ptype in (S.PRIM_VOLUME_SPHERE, S.PRIM_VOLUME_BOX):
         u = jnp.stack([vu_ref[vu_base + max(vol_slots[i], 0), :]
                        for i in range(b0, b0 + C)])
@@ -165,6 +167,175 @@ def _block_test(props_ref, vu_ref, vol_slots, entry, b0, o, d, tmin, tmax,
         raise ValueError(f"unknown prim type {ptype}")
 
     return jnp.where(valid, t, BIG), C
+
+
+def _is_dynamic(entry) -> bool:
+    """Groups traversed with the dynamic front-to-back block loop: enough
+    blocks that ordering/culling pays, and a type whose test needs no
+    per-prim static data (volumes need their static vol_slot -> uniform-row
+    mapping, and volume groups are <= a handful of prims anyway)."""
+    start, count, size, ptype, axis, has_xform, block = entry
+    return (ptype in (S.PRIM_SPHERE, S.PRIM_MOVING_SPHERE, S.PRIM_RECT,
+                      S.PRIM_BOX)
+            and size // block >= 3)
+
+
+def _max_dyn_blocks(chunk_plan) -> int:
+    """Rows of the shared near-matrix scratch (>=1 so the alloc is valid)."""
+    return max([e[2] // e[6] for e in chunk_plan if _is_dynamic(e)],
+               default=1)
+
+
+def _near_matrix(aabb_ref, g_bid: int, B: int, o, d, tmin):
+    """[B, n] per-(block, lane) conservative entry distance: max(near, tmin)
+    of the slab test against block AABBs g_bid..g_bid+B, BIG where the lane
+    cannot hit the block at all.  One vectorized slab sweep per group — the
+    per-block scalar AABB reads of the static path, batched."""
+    near = jnp.full_like(o.x[None, :] + jnp.zeros((B, 1), jnp.float32), -BIG)
+    far = jnp.full_like(near, BIG)
+    for ax in range(3):
+        lo = aabb_ref[g_bid:g_bid + B, ax][:, None]
+        hi = aabb_ref[g_bid:g_bid + B, 3 + ax][:, None]
+        dk = d[ax][None, :]
+        inv = 1.0 / jnp.where(dk == 0.0, 1e-30, dk)
+        t0 = (lo - o[ax][None, :]) * inv
+        t1 = (hi - o[ax][None, :]) * inv
+        near = jnp.maximum(near, jnp.minimum(t0, t1))
+        far = jnp.minimum(far, jnp.maximum(t0, t1))
+    nearc = jnp.maximum(near, tmin)
+    return jnp.where(far >= nearc, nearc, BIG)
+
+
+def _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax, time):
+    """t-matrix [block, n] for dynamically-chosen block at row offset b0
+    (a traced scalar) of a same-typed group."""
+    start, count, size, ptype, axis, has_xform, block = entry
+    C = block
+    params = props_ref[pl.ds(b0, C), 0:9]
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+             + (b0 - start)) < count
+
+    if has_xform:
+        w2o_cols = [[props_ref[pl.ds(b0, C), _W2O + i * 4 + j][:, None]
+                     for j in range(4)] for i in range(3)]
+        oo = V.affine_point(w2o_cols, o)
+        dd = V.affine_vec(w2o_cols, d)
+    else:
+        oo, dd = o, d
+
+    if ptype == S.PRIM_SPHERE:
+        t = I.sphere_t(params, oo, dd, tmin, tmax)
+    elif ptype == S.PRIM_MOVING_SPHERE:
+        t = I.moving_sphere_t(params, oo, dd, tmin, tmax, time)
+    elif ptype == S.PRIM_RECT:
+        t = I.rect_t(params, oo, dd, tmin, tmax, axis)
+    elif ptype == S.PRIM_BOX:
+        t = I.box_t(params, oo, dd, tmin, tmax)
+    else:  # pragma: no cover
+        raise ValueError(f"dynamic path cannot test prim type {ptype}")
+    return jnp.where(valid, t, BIG), C
+
+
+def _dyn_nearest(entry, g_bid, props_ref, aabb_ref, nm_ref,
+                 bt_ref, bi_ref, bp_ref, o, d, time, tmax, tmin):
+    """Front-to-back traversal of one group's blocks for this ray tile.
+
+    The tile-level analog of BVH ordered traversal: blocks are visited in
+    increasing conservative entry distance *for this tile's rays*, and a
+    block is tested only while some lane's entry distance still undercuts
+    that lane's current upper bound min(best_t, tmax) — so once the near
+    geometry resolves the tile, the far blocks are never touched.  The
+    reference gets this from optixTraverse's hardware BVH walk per ray
+    (ioGeometryGroup.h:160-225 builds the structure); lockstep tiles can't
+    afford per-ray walks (measured, docs/QUIRKS.md), but tile-coherent rays
+    (render.tile_permutation) make the tile-granular walk fire almost as
+    often."""
+    start, count, size, ptype, axis, has_xform, block = entry
+    B = size // block
+    n = o.x.shape[0]
+    nm_ref[0:B, :] = _near_matrix(aabb_ref, g_bid, B, o, d, tmin)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+
+    def body(_it, carry):
+        ub = jnp.minimum(bt_ref[0, :], tmax)                 # [n]
+        nm = nm_ref[0:B, :]
+        keys = jnp.min(jnp.where(nm < ub[None, :], nm, BIG),
+                       axis=1, keepdims=True)                # [B, 1]
+        kmin = jnp.min(keys)
+
+        @pl.when(kmin < BIG)
+        def _():
+            k = jnp.min(jnp.where(keys <= kmin, iota_b, B)).astype(jnp.int32)
+            b0 = start + k * block
+            t, C = _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax,
+                                   time)
+            _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref)
+            nm_ref[pl.ds(k, 1), :] = jnp.full((1, n), BIG, jnp.float32)
+
+        return carry
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+
+def _dyn_occl(entry, g_bid, props_ref, aabb_ref, nm_ref, occ_ref,
+              o, d, time, tmax, tmin, want):
+    """Any-hit variant of _dyn_nearest: near-ordered (closer blocks occlude
+    with higher probability), lanes leave the `pending` set on first hit, and
+    blocks no pending lane can reach are never tested."""
+    start, count, size, ptype, axis, has_xform, block = entry
+    B = size // block
+    n = o.x.shape[0]
+    nm_ref[0:B, :] = _near_matrix(aabb_ref, g_bid, B, o, d, tmin)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+
+    def body(_it, carry):
+        pending = occ_ref[0, :] < 0.5
+        if want is not None:
+            pending = pending & want
+        ub = jnp.where(pending, tmax, -BIG)
+        nm = nm_ref[0:B, :]
+        keys = jnp.min(jnp.where(nm < ub[None, :], nm, BIG),
+                       axis=1, keepdims=True)
+        kmin = jnp.min(keys)
+
+        @pl.when(kmin < BIG)
+        def _():
+            k = jnp.min(jnp.where(keys <= kmin, iota_b, B)).astype(jnp.int32)
+            b0 = start + k * block
+            t, _C = _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax,
+                                    time)
+            hit_any = jnp.max((t < BIG).astype(jnp.float32), axis=0)
+            occ_ref[0, :] = jnp.maximum(occ_ref[0, :], hit_any)
+            nm_ref[pl.ds(k, 1), :] = jnp.full((1, n), BIG, jnp.float32)
+
+        return carry
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+
+def _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref):
+    """Merge one block's [C, n] t-matrix into the running (t, prim, props)
+    winner.  The winner's property record is fetched with a one-hot matmul
+    (an exact gather on the MXU).  HIGHEST precision: the default TPU matmul
+    truncates fp32 inputs to bf16, corrupting gathered geometry; the
+    multi-pass f32 emulation recovers full precision."""
+    n = t.shape[1]
+    c_t = jnp.min(t, axis=0)
+    c_arg = jnp.argmin(t, axis=0).astype(jnp.int32)
+    best_t = bt_ref[0, :]
+    better = c_t < best_t
+
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (C, n), 0)
+              == c_arg[None, :]).astype(jnp.float32)
+    blk_props = jax.lax.dot_general(
+        props_ref[pl.ds(b0, C), :], onehot,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)      # [K, n]
+
+    bt_ref[0, :] = jnp.where(better, c_t, best_t)
+    bi_ref[0, :] = jnp.where(better, b0 + c_arg, bi_ref[0, :])
+    bp_ref[:, :] = jnp.where(better[None, :], blk_props, bp_ref[:, :])
 
 
 def _block_active(aabb_ref, blk_id, o, d, tmin, tmax, best_t):
@@ -186,13 +357,14 @@ def _block_active(aabb_ref, blk_id, o, d, tmin, tmax, best_t):
 
 def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
                  o, d, time, tmax, vu_ref, vu_base, props_ref, aabb_ref,
-                 bt_ref, bi_ref, bp_ref):
+                 bt_ref, bi_ref, bp_ref, nm_ref):
     """Nearest-hit sweep + winner payload for one in-VMEM ray tile.
 
-    Carries (best t / prim / props) live in VMEM scratch so whole primitive
-    blocks can be skipped with @pl.when when no ray in the tile can hit
-    their AABB — the tile-level analog of BVH early-out, exploiting the
-    coherence of primary and shadow wavefronts.
+    Carries (best t / prim / props) live in VMEM scratch.  Small groups run
+    the static unrolled sweep with whole-block @pl.when AABB culls; large
+    groups run the dynamic front-to-back traversal (_dyn_nearest) — ordered
+    visits + per-lane best-t cut, the tile-level analog of ordered BVH
+    traversal.
 
     Returns (best_t, best_i, best_props, point, normal, u, v)."""
     n = o.x.shape[0]
@@ -204,6 +376,11 @@ def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
     blk_id = 0
     for entry in chunk_plan:
         start, count, size, ptype, axis, has_xform, block = entry
+        if _is_dynamic(entry):
+            _dyn_nearest(entry, blk_id, props_ref, aabb_ref, nm_ref,
+                         bt_ref, bi_ref, bp_ref, o, d, time, tmax, tmin)
+            blk_id += size // block
+            continue
         for b0 in range(start, start + size, block):
             bid = blk_id
             blk_id += 1
@@ -214,27 +391,7 @@ def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
             def _(entry=entry, b0=b0):
                 t, C = _block_test(props_ref, vu_ref, vol_slots, entry, b0,
                                    o, d, tmin, tmax, time, vu_base)
-                c_t = jnp.min(t, axis=0)
-                c_arg = jnp.argmin(t, axis=0).astype(jnp.int32)
-                best_t = bt_ref[0, :]
-                better = c_t < best_t
-
-                # winner props via one-hot matmul (an exact gather on the
-                # MXU).  HIGHEST precision: the default TPU matmul truncates
-                # fp32 inputs to bf16, corrupting gathered geometry; the
-                # multi-pass f32 emulation recovers full precision.
-                onehot = (jax.lax.broadcasted_iota(jnp.int32, (C, n), 0)
-                          == c_arg[None, :]).astype(jnp.float32)
-                blk_props = jax.lax.dot_general(
-                    props_ref[b0:b0 + C, :], onehot,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)      # [K, n]
-
-                bt_ref[0, :] = jnp.where(better, c_t, best_t)
-                bi_ref[0, :] = jnp.where(better, b0 + c_arg, bi_ref[0, :])
-                bp_ref[:, :] = jnp.where(better[None, :], blk_props,
-                                         bp_ref[:, :])
+                _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref)
 
     best_t = bt_ref[0, :]
     best_i = bi_ref[0, :]
@@ -259,7 +416,8 @@ def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
         o_sel, d_sel = (o_x, d_x) if has_xform else (o, d)
         g_point, g_normal, g_u, g_v = I._payload(ptype, axis, p9, o_sel,
                                                  d_sel, t_pay, time,
-                                                 sphere_uv=_sphere_uv_poly)
+                                                 sphere_uv=_sphere_uv_poly,
+                                                 tmin=tmin)
         if has_xform:
             g_point = V.affine_point(o2w_g, g_point)
             # normal transforms with (W2O)^T
@@ -300,7 +458,7 @@ def _write_hit(of_ref, oi_ref, best_t, best_i, best_props, point, normal,
 
 def _kernel_body(chunk_plan, vol_slots, any_xform, n_vol, tmin,
                  rays_ref, vu_ref, props_ref, aabb_ref, of_ref, oi_ref,
-                 bt_ref, bi_ref, bp_ref):
+                 bt_ref, bi_ref, bp_ref, nm_ref):
     """One ray tile against the whole scene (see _nearest_hit)."""
     o = Vec3(rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
     d = Vec3(rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
@@ -308,7 +466,7 @@ def _kernel_body(chunk_plan, vol_slots, any_xform, n_vol, tmin,
     tmax = rays_ref[7, :]
     res = _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
                        o, d, time, tmax, vu_ref, 0, props_ref, aabb_ref,
-                       bt_ref, bi_ref, bp_ref)
+                       bt_ref, bi_ref, bp_ref, nm_ref)
     _write_hit(of_ref, oi_ref, *res)
 
 
@@ -344,6 +502,8 @@ def _make_tracer(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles, kdim):
             pltpu.VMEM((1, TILE), jnp.float32),     # best t
             pltpu.VMEM((1, TILE), jnp.int32),       # best prim
             pltpu.VMEM((kdim, TILE), jnp.float32),  # best props
+            pltpu.VMEM((_max_dyn_blocks(chunk_plan), TILE),
+                       jnp.float32),                # block near matrix
         ],
     )
 
@@ -415,16 +575,22 @@ def _unpack_hit(f32, i32, n):
 # ---------------------------------------------------------------------------
 
 def _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref,
-                vu_base, props_ref, aabb_ref, occ_ref, want=None):
+                vu_base, props_ref, aabb_ref, occ_ref, nm_ref, want=None):
     """Any-hit sweep into occ_ref[0, :] (1.0 = occluded); blocks whose AABB
     no still-unoccluded wanting ray in the tile can reach are skipped (which
-    also early-exits once the whole tile is resolved)."""
+    also early-exits once the whole tile is resolved).  Large groups run the
+    dynamic near-ordered traversal (_dyn_occl)."""
     n = o.x.shape[0]
     occ_ref[:, :] = jnp.zeros((1, n), jnp.float32)
 
     blk_id = 0
     for entry in chunk_plan:
         start, count, size, ptype, axis, has_xform, block = entry
+        if _is_dynamic(entry):
+            _dyn_occl(entry, blk_id, props_ref, aabb_ref, nm_ref, occ_ref,
+                      o, d, time, tmax, tmin, want)
+            blk_id += size // block
+            continue
         for b0 in range(start, start + size, block):
             bid = blk_id
             blk_id += 1
@@ -443,13 +609,13 @@ def _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref,
 
 
 def _occl_body(chunk_plan, vol_slots, n_vol, tmin, rays_ref, vu_ref,
-               props_ref, aabb_ref, out_ref):
+               props_ref, aabb_ref, out_ref, nm_ref):
     o = Vec3(rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
     d = Vec3(rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
     time = rays_ref[6, :]
     tmax = rays_ref[7, :]
     _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref, 0,
-                props_ref, aabb_ref, out_ref)
+                props_ref, aabb_ref, out_ref, nm_ref)
 
 
 @functools.lru_cache(maxsize=64)
@@ -466,6 +632,10 @@ def _make_occluder(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles):
         ],
         out_specs=pl.BlockSpec((1, TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_max_dyn_blocks(chunk_plan), TILE),
+                       jnp.float32),                # block near matrix
+        ],
     )
 
     def run(rays, vol_u, props, aabbs):
@@ -510,7 +680,7 @@ def occluded_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time,
 
 def _fused_body(chunk_plan, vol_slots, any_xform, n_vol, tmin, shadow_eps,
                 lanes_ref, props_ref, aabb_ref, lp_ref,
-                of_ref, oi_ref, bt_ref, bi_ref, bp_ref, occ_ref):
+                of_ref, oi_ref, bt_ref, bi_ref, bp_ref, occ_ref, nm_ref):
     nv = max(n_vol, 1)
     o = Vec3(lanes_ref[0, :], lanes_ref[1, :], lanes_ref[2, :])
     d = Vec3(lanes_ref[3, :], lanes_ref[4, :], lanes_ref[5, :])
@@ -521,7 +691,7 @@ def _fused_body(chunk_plan, vol_slots, any_xform, n_vol, tmin, shadow_eps,
 
     res = _nearest_hit(chunk_plan, vol_slots, any_xform, tmin, o, d, time,
                        tmax, lanes_ref, _LANES_FIXED, props_ref, aabb_ref,
-                       bt_ref, bi_ref, bp_ref)
+                       bt_ref, bi_ref, bp_ref, nm_ref)
     best_t, best_i, best_props, point, normal, uu, vv = res
 
     # Light sample + shadow ray, replicating the integrator's NEE
@@ -540,7 +710,7 @@ def _fused_body(chunk_plan, vol_slots, any_xform, n_vol, tmin, shadow_eps,
     want = (best_i >= 0) & (best_props[_MAT] == np.float32(S.MAT_LAMBERTIAN))
     _occl_sweep(chunk_plan, vol_slots, shadow_eps, shadow_org, ldir_u, time,
                 tmax_sh, lanes_ref, _LANES_FIXED + nv, props_ref, aabb_ref,
-                occ_ref, want=want)
+                occ_ref, nm_ref, want=want)
 
     shadowed = jnp.where(want, occ_ref[0, :], 0.0)
     _write_hit(of_ref, oi_ref, *res, extra_f32=(shadowed,))
@@ -576,6 +746,8 @@ def _make_fused(chunk_plan, vol_slots, n_vol, tmin, shadow_eps, any_xform,
             pltpu.VMEM((1, TILE), jnp.int32),       # best prim
             pltpu.VMEM((kdim, TILE), jnp.float32),  # best props
             pltpu.VMEM((1, TILE), jnp.float32),     # occluded
+            pltpu.VMEM((_max_dyn_blocks(chunk_plan), TILE),
+                       jnp.float32),                # block near matrix
         ],
     )
 

@@ -67,6 +67,27 @@ def _pad_to(n: int, m: int) -> int:
     return math.ceil(n / m) * m
 
 
+def _put_sharded(arr: np.ndarray, mesh: Mesh, spec) -> jax.Array:
+    """Place a host-replicated numpy array as a global sharded jax.Array.
+
+    Single-process: plain device_put.  Multi-process (jax.distributed):
+    device_put cannot target non-addressable shards, so each process
+    materializes its addressable shards from the (identical) host copy."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def _replicated_np(x: jax.Array, mesh: Mesh) -> np.ndarray:
+    """Gather a `data`-sharded array to a host numpy copy on every process
+    (an all-gather over ICI/DCN; the multi-process-safe np.asarray)."""
+    rep = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))(x)
+    return np.asarray(rep)
+
+
 def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
                    metrics: dict | None = None, verbose: bool = False,
                    checkpoint_path: str | None = None,
@@ -91,11 +112,15 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
     chunk = cfg.resolved_spp_chunk()
 
     if mode == "pixels":
+        from rtw_tpu.render import tile_permutation
+
         padded = _pad_to(npix, ndev)
-        pixel_idx = np.arange(padded, dtype=np.int32)
-        pixel_idx[npix:] = 0
-        pix_sharded = jax.device_put(
-            jnp.asarray(pixel_idx), NamedSharding(mesh, P("data")))
+        # tile-coherent lane order (render.tile_permutation): lane i renders
+        # pixel perm[i]; the final image is un-permuted by scattering
+        perm = tile_permutation(cfg.nx, cfg.ny)
+        pixel_idx = np.zeros(padded, np.int32)
+        pixel_idx[:npix] = perm
+        pix_sharded = _put_sharded(pixel_idx, mesh, P("data"))
 
         import functools
 
@@ -111,8 +136,8 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
                 out_specs=(P("data"), P()), check_vma=False,
             )(pix, acc)
 
-        acc = jax.device_put(jnp.zeros((padded, 3), jnp.float32),
-                             NamedSharding(mesh, P("data")))
+        acc = _put_sharded(np.zeros((padded, 3), np.float32), mesh,
+                           P("data"))
         total_rays = 0.0
         spp_done = 0
         if checkpoint_path is not None:
@@ -123,8 +148,7 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
                 acc_np, total_rays, spp_done = state
                 per = np.zeros((padded, 3), np.float32)
                 per[: acc_np.shape[0]] = acc_np
-                acc = jax.device_put(jnp.asarray(per),
-                                     NamedSharding(mesh, P("data")))
+                acc = _put_sharded(per, mesh, P("data"))
                 if verbose:
                     print(f"INFO: resumed at {spp_done}/{cfg.spp} spp",
                           flush=True)
@@ -145,12 +169,17 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
                     or s0 - last_ckpt >= checkpoint_every):
                 from rtw_tpu.utils import checkpoint as ckpt
 
-                ckpt.save(checkpoint_path, cfg,
-                          np.asarray(acc)[:npix], total_rays, s0)
+                if jax.process_index() == 0:
+                    ckpt.save(checkpoint_path, cfg,
+                              _replicated_np(acc, mesh)[:npix], total_rays,
+                              s0)
                 last_ckpt = s0
-        img_dev = jax.block_until_ready(acc)
+        jax.block_until_ready(acc)
         elapsed = _time.perf_counter() - t_start
-        img = np.asarray(img_dev)[:npix] / np.float32(cfg.spp)
+        lanes = _replicated_np(acc, mesh)[:npix]
+        img = np.zeros((npix, 3), np.float32)
+        img[perm] = lanes                       # un-permute tile lane order
+        img /= np.float32(cfg.spp)
         if metrics is not None:
             n_paths = npix * (cfg.spp - spp_done)
             metrics.update(
@@ -219,8 +248,9 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
                     or (s0 - last_ckpt) * ndev >= checkpoint_every):
                 from rtw_tpu.utils import checkpoint as ckpt
 
-                ckpt.save(checkpoint_path, cfg, np.asarray(acc),
-                          total_rays, s0)
+                if jax.process_index() == 0:
+                    ckpt.save(checkpoint_path, cfg, np.asarray(acc),
+                              total_rays, s0)
                 last_ckpt = s0
         acc = jax.block_until_ready(acc)
         elapsed = _time.perf_counter() - t_start

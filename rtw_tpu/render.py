@@ -24,6 +24,29 @@ from rtw_tpu.integrator import trace_wavefront
 from rtw_tpu.utils import rng as R
 
 
+def tile_permutation(nx: int, ny: int, tile: int = 32) -> np.ndarray:
+    """Pixel visit order that groups `tile`x`tile` image tiles into
+    contiguous lane runs, so every 1024-lane ray tile the Pallas trace
+    kernel owns (ops/trace_kernel.TILE) is one spatially compact 32x32
+    pixel footprint instead of 1-2 full raster rows.
+
+    Why it matters: the kernels cull whole primitive blocks per ray tile by
+    AABB (and, front-to-back, by best-t) — a cull only fires when EVERY
+    lane in the tile agrees, which needs the tile's rays to share a frustum.
+    Primary rays of a raster row fan across the whole image width and
+    defeat the cull; a 32x32 tile's rays (and, because ray regeneration
+    keeps each lane pinned to its pixel, all its bounce-ray origins) stay
+    localized for the whole render.
+
+    Lane i renders pixel `perm[i]`; invert by scattering lane values to
+    `perm` (render() does).  Pure relabeling: per-pixel estimates are keyed
+    by logical pixel id, so the image is bit-identical to raster order."""
+    y, x = np.mgrid[0:ny, 0:nx]
+    y, x = y.ravel(), x.ravel()
+    perm = np.lexsort((x % tile, y % tile, x // tile, y // tile))
+    return perm.astype(np.int32)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 4), donate_argnums=(5,))
 def _render_tile(scene, cfg, pixel_idx, key, n_samples, accum, s0):
     """Accumulate `n_samples` samples (starting at index s0) for one tile via
@@ -56,9 +79,10 @@ def render(scene, cfg, key=None, verbose: bool = False,
     chunk = cfg.resolved_spp_chunk()
     n_tiles = math.ceil(npix / batch)
     pad = n_tiles * batch - npix
-    pixel_idx = jnp.arange(npix + pad, dtype=jnp.int32)
-    if pad:
-        pixel_idx = pixel_idx.at[npix:].set(0)  # padded lanes recompute pixel 0
+    perm = tile_permutation(cfg.nx, cfg.ny)    # lane i renders pixel perm[i]
+    pixel_idx = jnp.asarray(np.concatenate(
+        [perm, np.zeros(pad, np.int32)]))      # padded lanes recompute pixel 0
+    perm_j = jnp.asarray(perm)
 
     from rtw_tpu.integrator import _stats_zero
 
@@ -108,7 +132,10 @@ def render(scene, cfg, key=None, verbose: bool = False,
             ckpt.save(checkpoint_path, cfg, acc_np, rays_np, s0)
             last_ckpt = s0
 
-    img = jnp.concatenate([a[0] for a in accums], axis=0)[:npix] / np.float32(cfg.spp)
+    lanes = jnp.concatenate([a[0] for a in accums], axis=0)[:npix]
+    # un-permute tile order back to raster order (lane i holds pixel perm[i])
+    img = (jnp.zeros((npix, 3), jnp.float32).at[perm_j].set(lanes)
+           / np.float32(cfg.spp))
     img = jax.block_until_ready(img)
     total_rays = sum(float(a[1]) for a in accums)
     elapsed = _time.perf_counter() - t_start

@@ -19,6 +19,10 @@ import numpy as np
 
 def _fingerprint(cfg) -> str:
     d = dataclasses.asdict(cfg)
+    # the accumulator is stored in lane order; bump when the lane->pixel
+    # mapping changes (render.tile_permutation) so stale checkpoints from a
+    # different layout are rejected instead of resumed scrambled
+    d["_pixel_layout"] = "tile32"
     return json.dumps(d, sort_keys=True)
 
 

@@ -66,6 +66,22 @@ class RenderConfig:
     #           cudaTextureObject_t semantics, ioTexture.h:293-311).
     tex_filter: str = "rgb565"
 
+    # Wavefront scheduler ----------------------------------------------------
+    # "queue": global work-queue over (pixel, sample) items — lanes that
+    #          finish a sample claim any pixel's next sample, so per-pixel
+    #          difficulty variance can't strand the wavefront (the TPU
+    #          equivalent of OptiX's hardware thread scheduler).  Per-pixel
+    #          sums are reassociated in claim order: deterministic for a
+    #          fixed batch width, not bitwise identical across widths.
+    # "regen": per-lane regeneration — each lane owns one pixel; images are
+    #          bitwise independent of batch width / mesh shape (use for
+    #          distributed-determinism guarantees).  Slower on scenes with
+    #          uneven pixel difficulty.
+    # "auto":  queue on the Pallas trace path (>=128-prim scenes on TPU),
+    #          regen on the pure-XLA path, whose fully-fused bounce the
+    #          queue's flush cond would split (measured 2.6x on Cornell).
+    scheduler: str = "auto"
+
     # RNG implementation -------------------------------------------------
     # "fast": stateless pcg_hash streams keyed by (seed, pixel, sample,
     #         bounce, slot) — the GPU-rendering standard, ~100x cheaper than
@@ -91,6 +107,12 @@ class RenderConfig:
     # reverse-mode AD works; when False a lax.while_loop early-exits once all
     # rays in the batch are dead (faster for plain rendering).
     differentiable: bool = False
+    # Rematerialize the bounce body in the backward sweep (jax.checkpoint on
+    # the scan step): peak memory drops from every bounce intermediate to one
+    # carried PathState per bounce, at ~1 extra forward evaluation of the
+    # bounce body during the backward pass.  Only consulted when
+    # differentiable=True.
+    remat: bool = True
 
     # Misc -------------------------------------------------------------------
     gamma: float = 2.0            # output gamma (raygen.cu:150-155 uses sqrt)

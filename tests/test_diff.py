@@ -157,3 +157,47 @@ def test_gradient_descent_recovers_albedo(simple_scene):
         params = {**params,
                   "tex_color": params["tex_color"] - 40.0 * g["tex_color"]}
     assert float(loss) < 0.5 * l0
+
+
+def test_chunked_grad_matches_monolithic(simple_scene):
+    """make_loss_and_grad_chunked (constant-memory spp accumulation +
+    cfg.remat bounce rematerialization) must produce the same loss and
+    gradients as the monolithic estimator."""
+    from rtw_tpu.diff import make_loss_and_grad_chunked
+
+    scene = simple_scene
+    key = R.base_key(3)
+    pix = jnp.arange(CFG.num_pixels, dtype=jnp.int32)
+    params = extract_params(scene)
+    target = jnp.zeros((CFG.num_pixels, 3), jnp.float32)
+
+    loss_m, grads_m = make_loss_and_grad(scene, CFG, 4)(params, target, pix,
+                                                        key)
+    loss_c, grads_c = make_loss_and_grad_chunked(scene, CFG, 4, 2)(
+        params, target, pix, key)
+    np.testing.assert_allclose(float(loss_c), float(loss_m), rtol=1e-5)
+    flat_m = jax.tree_util.tree_leaves(grads_m)
+    flat_c = jax.tree_util.tree_leaves(grads_c)
+    for a, b in zip(flat_m, flat_c):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_remat_matches_no_remat(simple_scene):
+    """jax.checkpoint on the bounce scan body must not change gradients."""
+    import dataclasses
+
+    scene = simple_scene
+    key = R.base_key(5)
+    pix = jnp.arange(CFG.num_pixels, dtype=jnp.int32)
+    params = extract_params(scene)
+    target = jnp.zeros((CFG.num_pixels, 3), jnp.float32)
+    cfg_no = dataclasses.replace(CFG, remat=False)
+
+    l1, g1 = make_loss_and_grad(scene, CFG, 2)(params, target, pix, key)
+    l2, g2 = make_loss_and_grad(scene, cfg_no, 2)(params, target, pix, key)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)

@@ -181,3 +181,43 @@ def test_nearest_of_many():
     sc = b.build()
     h = _trace(sc, [[0, 0, 0]], [[0, 0, -1]])
     assert float(h.t[0]) == pytest.approx(2.5, abs=1e-5)
+
+
+def test_box_prim_equals_six_rects():
+    """PRIM_BOX (one slab test) must reproduce the reference's 6-AARect
+    composite (ioGeometryGroup.h:27-41 createBox) on every hit field —
+    including interior-origin rays (exit-face hits) and a rotated instance."""
+    from rtw_tpu.ops.vec import Vec3
+
+    def mk(use_box):
+        b = SceneBuilder()
+        m = b.lambertian(b.constant_texture((0.5, 0.5, 0.5)))
+        fn = b.box if use_box else b.box_rects
+        xf = translate((265.0, 0.0, 295.0)) @ rotate_y(15.0)
+        fn((0.0, 0.0, 0.0), (165.0, 330.0, 165.0), m, transform=xf)
+        fn((300.0, 10.0, 300.0), (400.0, 80.0, 420.0), m)
+        b.set_camera((278, 278, -800), (278, 278, 0), (0, 1, 0), 40, 1.0,
+                     0.0, 10.0)
+        return b.build()
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    o = Vec3(*(jnp.asarray(rng.uniform(-200, 700, n), jnp.float32)
+               for _ in range(3)))
+    d = Vec3(*(jnp.asarray(rng.normal(size=n), jnp.float32)
+               for _ in range(3)))
+    tm = jnp.zeros((n,))
+    vu = jnp.zeros((1, n))
+    ha = intersect_scene(mk(True), o, d, 1e-6, 1e9, tm, vu)
+    hb = intersect_scene(mk(False), o, d, 1e-6, 1e9, tm, vu)
+    hit_a = np.asarray(ha.prim_idx >= 0)
+    hit_b = np.asarray(hb.prim_idx >= 0)
+    np.testing.assert_array_equal(hit_a, hit_b)
+    assert hit_a.sum() > 150          # interior + exterior rays both present
+    for a, b in [(ha.t, hb.t), (ha.u, hb.u), (ha.v, hb.v)]:
+        np.testing.assert_allclose(np.asarray(a)[hit_a],
+                                   np.asarray(b)[hit_a], rtol=1e-5, atol=1e-5)
+    for a, b in [(ha.point, hb.point), (ha.normal, hb.normal)]:
+        np.testing.assert_allclose(np.asarray(a.stack())[hit_a],
+                                   np.asarray(b.stack())[hit_a],
+                                   rtol=1e-5, atol=1e-5)

@@ -162,3 +162,58 @@ def test_fused_trace_nee_matches_split(case):
     np.testing.assert_array_equal(np.asarray(occ_ref)[want],
                                   np.asarray(shadowed_k)[want])
     assert not np.asarray(shadowed_k)[~want].any()
+
+
+def _many_prim_scene():
+    """Synthetic large scene: >= 3 blocks each of spheres, boxes and rects so
+    the kernels' dynamic front-to-back traversal (_dyn_nearest/_dyn_occl) is
+    exercised, not just the static unrolled path."""
+    from rtw_tpu.models.builder import SceneBuilder
+    import rtw_tpu.models.scene as S
+
+    b = SceneBuilder()
+    rng = np.random.default_rng(3)
+    mat = b.lambertian(b.constant_texture((0.5, 0.5, 0.5)))
+    for _ in range(200):
+        c = rng.uniform(-100, 100, 3)
+        b.sphere(c, rng.uniform(1.0, 6.0), mat)
+    for _ in range(200):
+        lo = rng.uniform(-100, 100, 3)
+        b.box(lo, lo + rng.uniform(2.0, 10.0, 3), mat)
+    for _ in range(200):
+        a0, b0 = rng.uniform(-100, 90, 2)
+        b.rect(a0, a0 + 10, b0, b0 + 10, rng.uniform(-100, 100), False,
+               S.AXIS_Y, mat)
+    b.set_camera(lookfrom=(0, 0, -300), lookat=(0, 0, 0), vup=(0, 1, 0),
+                 vfov=40.0, aspect=1.0, aperture=0.0, focus_dist=10.0)
+    return b.build()
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_kernel_dynamic_traversal_matches_jnp():
+    scene = _many_prim_scene()
+    # the plan must actually contain dynamic groups or this test is vacuous
+    assert any(TK._is_dynamic(e) for e in scene.chunk_plan)
+    rng = np.random.default_rng(9)
+    n = TK.TILE
+    o, d = _rand_rays(rng, n, 120.0, (0.0, 0.0, 0.0))
+    tm = jnp.zeros((n,), jnp.float32)
+    vu = jnp.full((1, n), 0.5, jnp.float32)
+
+    h_ref = intersect_scene(scene, o, d, 1e-6, 1e27, tm, vu)
+    with pltpu.force_tpu_interpret_mode():
+        h_k, sh_k = TK.trace_pallas(scene, o, d, 1e-6, 1e27, tm, vu)
+        occ_k = TK.occluded_pallas(scene, o, d, 1e-4, 1e4, tm, vu)
+    occ_ref = occluded(scene, o, d, 1e-4, 1e4, tm, vu)
+
+    np.testing.assert_array_equal(np.asarray(h_ref.prim_idx),
+                                  np.asarray(h_k.prim_idx))
+    hit = np.asarray(h_ref.prim_idx) >= 0
+    assert hit.sum() > 100
+    np.testing.assert_allclose(np.asarray(h_ref.t)[hit],
+                               np.asarray(h_k.t)[hit], rtol=2e-4)
+    for a, b in [(h_ref.point, h_k.point), (h_ref.normal, h_k.normal)]:
+        np.testing.assert_allclose(np.asarray(a.stack())[hit],
+                                   np.asarray(b.stack())[hit],
+                                   rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ_k))
