@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the render into "
                         "this directory (view with TensorBoard/Perfetto)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--scheduler", choices=["auto", "queue", "regen"],
+                   default="auto",
+                   help="wavefront scheduler: global work-queue (fast on "
+                        "uneven scenes) vs per-lane regeneration (bitwise "
+                        "batch/mesh-shape-invariant); auto picks per scene")
     return p
 
 
@@ -97,6 +102,7 @@ def main(argv=None) -> int:
 
     cfg = RenderConfig(nx=nx, ny=ny, spp=ns, max_depth=args.max_depth,
                        seed=args.seed, scene_id=args.scene,
+                       scheduler=args.scheduler,
                        mis_bsdf_weight=(args.estimator == "mis"),
                        # metrics sidecar requested -> collect the per-bounce
                        # wavefront counters too (single-device render path)
