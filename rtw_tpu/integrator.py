@@ -117,18 +117,19 @@ def generate_camera_rays(scene: S.Scene, cfg, pixel_idx, path_keys) -> PathState
 
 
 def _light_pdf_at(scene: S.Scene, origin: Vec3, point: Vec3, dir_unit: Vec3,
-                  mask):
+                  prim_idx, mask):
     """Solid-angle pdf of NEE having sampled the direction that hit a light at
     `point` (uniform light selection x uniform area), used for MIS weighting
     of BSDF-sampled light hits.  `mask`: lanes whose value is consumed —
     others get neutral inputs so reverse-mode can't overflow (double-where
     pattern).
 
-    With several lights the hit light's row is identified geometrically: the
-    row whose parallelogram (position + a*vec_u + b*vec_v, a,b in [0,1])
-    contains `point`.  Emissive geometry that is NOT registered as a light
-    resolves to pdf 0 — correct, since NEE can never sample it, so the BSDF
-    sample carries full weight (power_heuristic(p, 0) = 1)."""
+    The hit light's row comes from the build-time prim -> light-row index
+    (Primitives.light_row_p) keyed by the winning `prim_idx` — exact for any
+    light arrangement (coplanar, adjacent, grazing), unlike a geometric
+    containment test.  Emissive geometry that is NOT registered as a light
+    resolves to row -1 -> pdf 0 — correct, since NEE can never sample it, so
+    the BSDF sample carries full weight (power_heuristic(p, 0) = 1)."""
     lights = scene.lights
     L = max(scene.num_lights, 1)
     d = point - origin
@@ -141,36 +142,15 @@ def _light_pdf_at(scene: S.Scene, origin: Vec3, point: Vec3, dir_unit: Vec3,
         cos_t = jnp.where(mask & (cos_t > 1e-6), cos_t, 1.0)
         return dist2 / (area * cos_t) / np.float32(L)
 
-    # static loop over the (tiny) light table: membership test per row
-    inv_area = jnp.zeros_like(dist2)
-    cos_sel = jnp.ones_like(dist2)
-    found = jnp.zeros_like(mask)
-    for li in range(L):
-        pos = V.v3(lights.position[li])
-        vu = V.v3(lights.vec_u[li])
-        vv = V.v3(lights.vec_v[li])
-        ln = V.v3(lights.normal[li])
-        area = lights.area[li]
-        rel = point - pos
-        # parallelogram coords via the Gram system (exact for any u, v)
-        uu_ = vu.dot(vu)
-        vv_ = vv.dot(vv)
-        uv_ = vu.dot(vv)
-        det = jnp.maximum(uu_ * vv_ - uv_ * uv_, 1e-20)
-        ru = rel.dot(vu)
-        rv = rel.dot(vv)
-        a = (ru * vv_ - rv * uv_) / det
-        b = (rv * uu_ - ru * uv_) / det
-        on_plane = jnp.abs(rel.dot(ln)) < 1e-3 * jnp.sqrt(area)
-        member = (on_plane & (a >= -1e-4) & (a <= 1.0 + 1e-4)
-                  & (b >= -1e-4) & (b <= 1.0 + 1e-4) & ~found)
-        cos_li = jnp.abs(dir_unit.dot(ln))
-        sel = member & mask & (cos_li > 1e-6)
-        inv_area = jnp.where(sel, 1.0 / area, inv_area)
-        cos_sel = jnp.where(sel, cos_li, cos_sel)
-        found = found | member
-    pdf = dist2 * inv_area / cos_sel
-    return pdf / np.float32(L)
+    row = scene.prims.light_row_p[jnp.maximum(prim_idx, 0)]
+    row = jnp.where(mask & (prim_idx >= 0), row, -1)
+    r = jnp.maximum(row, 0)
+    area = lights.area[r]
+    ln = V.gather_rows(lights.normal, r)
+    cos_t = jnp.abs(dir_unit.dot(ln))
+    sel = (row >= 0) & (cos_t > 1e-6)
+    pdf = dist2 / (jnp.where(sel, area * cos_t, 1.0) * np.float32(L))
+    return jnp.where(sel, pdf, 0.0)
 
 
 def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
@@ -308,7 +288,8 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
         emitted = V.where(facing, albedo, zero3)
         if cfg.mis_bsdf_weight and scene.num_lights > 0:
             w_mask = hit_alive & is_light & state.prev_diffuse
-            lp = _light_pdf_at(scene, o, hit.point, d_unit, w_mask)
+            lp = _light_pdf_at(scene, o, hit.point, d_unit, hit.prim_idx,
+                               w_mask)
             prev_safe = jnp.where(w_mask, state.prev_pdf, 1.0)
             w_bsdf = jnp.where(w_mask, sm.power_heuristic(prev_safe, lp), 1.0)
         else:
@@ -530,6 +511,62 @@ def _stats_update(st: WavefrontStats, alive, depth, it) -> WavefrontStats:
         occ_sum=st.occ_sum.at[ti].add(n_alive),
         occ_cnt=st.occ_cnt.at[ti].add(1.0),
     )
+
+
+def _resolved_sort_every(cfg, scene) -> int:
+    """Static resolution of cfg.sort_every (-1 = auto; see config.py)."""
+    if cfg.sort_every >= 0:
+        return cfg.sort_every
+    return 0
+
+
+def _coherence_key(scene: S.Scene, path: PathState, item_pos):
+    """[N] int32 wavefront sort key, most-significant first:
+    [origin-cell Morton (8^3 grid, 9 b) | direction octant (3 b) |
+     image-tile id (16 b)]; dead lanes key to INT32_MAX so they pack to the
+    tail (subsuming the alive-first partition).
+
+    Rays sharing (cell, octant) start in the same core-scene cell heading
+    the same way — a tile of them agrees on which primitive blocks are
+    near/far, which is what the per-tile front-to-back traversal needs to
+    fire its best-t cut (the software analog of SER coherence sorting,
+    raygen.cu:55-58 optixReorder).  Two non-obvious ingredients, both
+    measured necessary (a plain scene-AABB cell/octant key was 3.5x SLOWER
+    than no sort on TNW):
+
+    - The grid covers the build-time percentile-clipped CORE bounds
+      (Scene.sort_grid), not the scene AABB — TNW's radius-5000 mist sphere
+      would otherwise put every interesting primitive in one cell.
+    - The image-tile id (item_pos >> 10 = the lane's 1024-lane tile under
+      render.tile_permutation) tiebreaks equal (cell, octant) runs: camera
+      rays (all one cell, 1-2 octants at 20-40 deg fov) regroup into the
+      32x32-pixel frusta the unsorted scheduler gets for free, instead of
+      being shuffled image-wide by whatever order earlier sorts left."""
+    g = scene.sort_grid
+    o, d = path.origin, path.direction
+
+    def q3(c, ax):
+        cell = jnp.clip((c - np.float32(g[ax])) * np.float32(8.0 / g[3 + ax]),
+                        0.0, 7.0)
+        return cell.astype(jnp.int32)
+
+    def spread3(x):  # 3 bits -> every 3rd position
+        return (x & 1) | ((x & 2) << 2) | ((x & 4) << 4)
+
+    morton = (spread3(q3(o.x, 0)) | (spread3(q3(o.y, 1)) << 1)
+              | (spread3(q3(o.z, 2)) << 2))
+    octant = ((d.x < 0).astype(jnp.int32) + 2 * (d.y < 0).astype(jnp.int32)
+              + 4 * (d.z < 0).astype(jnp.int32))
+    tile = jnp.minimum(item_pos >> 10, 65535)
+    key = (morton * 8 + octant) * 65536 + tile
+    return jnp.where(path.alive, key, np.int32(2**31 - 1))
+
+
+def _sort_perm(key):
+    """Stable permutation ordering lanes by `key` (iota tiebreak)."""
+    n = key.shape[0]
+    _, perm = lax.sort((key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    return perm
 
 
 def _alive_first_perm(alive):
@@ -764,6 +801,7 @@ class _QueueState(NamedTuple):
     rays: Any          # scalar f32
     cursor: Any        # scalar int32: next unclaimed item
     thresh: Any        # scalar int32: alive count at the last compaction
+    it: Any            # scalar int32: wavefront iteration counter
     stats: Any         # () or WavefrontStats
 
 
@@ -824,6 +862,7 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
     Returns (accum Vec3 [N] positional sums, rays, stats)."""
     n = pixel_idx.shape[0]
     compacting = _pallas_backend(cfg, scene)
+    sort_every = _resolved_sort_every(cfg, scene)
     n_items = n * n_samples
     s_init = jnp.full((n,), s0, jnp.int32)
     path_keys = R.make_path_keys(key, pixel_idx, s_init, cfg.rng)
@@ -841,6 +880,7 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         rays=jnp.zeros((), jnp.float32),
         cursor=jnp.asarray(n, jnp.int32),
         thresh=jnp.asarray(n, jnp.int32),
+        it=jnp.asarray(0, jnp.int32),
         stats=_stats_zero(cfg.max_depth) if cfg.bounce_stats else (),
     )
 
@@ -903,7 +943,7 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
 
         nwf = wf._replace(
             path=st._replace(alive=running), depth=depth,
-            pending=pending, rays=st.ray_count, stats=stats,
+            pending=pending, rays=st.ray_count, it=wf.it + 1, stats=stats,
         )
 
         # Flush policy (measured on one chip, scenes 1/4): running the
@@ -920,6 +960,20 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
             do_flush = (n_pend * _FLUSH_DENOM >= n) | ((n_run == 0)
                                                        & (n_pend > 0))
             nwf = lax.cond(do_flush, flush, lambda w: w, nwf)
+
+        # coherence sort (cfg.sort_every): regroup scattered bounce rays into
+        # spatially coherent tiles; dead lanes key to the tail, so this also
+        # subsumes the drain-tail compaction below
+        if sort_every == 1:
+            return _permute_queue(nwf, _sort_perm(_coherence_key(
+                scene, nwf.path, nwf.item_pos)))
+        if sort_every > 1:
+            def sortw(w):
+                return _permute_queue(w, _sort_perm(_coherence_key(
+                    scene, w.path, w.item_pos)))
+
+            return lax.cond(nwf.it % sort_every == 0, sortw,
+                            lambda w: w, nwf)
 
         if not compacting:
             return nwf

@@ -91,6 +91,69 @@ def _pack565_pairs(im: np.ndarray) -> np.ndarray:
     return (v | (right << np.uint32(16))).astype(np.uint32)
 
 
+def _rect_corners_world(p: "_Prim") -> Optional[np.ndarray]:
+    """World-space corners [4, 3] of a rect primitive (None for non-rects)."""
+    if p.ptype != S.PRIM_RECT:
+        return None
+    q = p.params.astype(np.float64)
+    a0, a1, b0, b1, k = q[0], q[1], q[2], q[3], q[4]
+    axis = int(q[5])
+    ia, ib = [(1, 2), (0, 2), (0, 1)][axis]
+    corners = np.zeros((4, 3))
+    for ci, (a, bb) in enumerate([(a0, b0), (a1, b0), (a0, b1), (a1, b1)]):
+        c = np.zeros(3)
+        c[axis] = k
+        c[ia] = a
+        c[ib] = bb
+        corners[ci] = c
+    if p.transform is not None:
+        h = np.concatenate([corners, np.ones((4, 1))], axis=1)
+        corners = (p.transform @ h.T).T[:, :3]
+    return corners
+
+
+def _match_lights_to_prims(prims: list["_Prim"], mat_type: list[int],
+                           lights: list[dict]) -> list[int]:
+    """Per-prim light row (-1 if none): which Lights row each emissive rect
+    primitive realizes.  A prim matches light row l when its corners, mapped
+    into the light parallelogram's (u, v) frame, land on the unit square —
+    with slack along the light normal, because reference scenes deliberately
+    offset the light geometry off the sampled plane (Cornell: rect prim at
+    k=554.9, LightDefinition at y=554, ioScene.h:534/605-612 — SURVEY §7.4
+    quirk 15)."""
+    rows = []
+    for p in prims:
+        row = -1
+        if mat_type[p.material] == S.MAT_DIFFUSE_LIGHT:
+            corners = _rect_corners_world(p)
+            if corners is not None:
+                for li, l in enumerate(lights):
+                    u, v, n = l["vec_u"], l["vec_v"], l["normal"]
+                    rel = corners - l["position"][None, :]
+                    # slack along the normal: 2% of the light's linear size
+                    off = np.abs(rel @ n)
+                    if off.max() > 0.02 * np.sqrt(l["area"]):
+                        continue
+                    # in-plane coordinates via the Gram system
+                    uu, vv_, uv = u @ u, v @ v, u @ v
+                    det = uu * vv_ - uv * uv
+                    if det <= 1e-20:
+                        continue
+                    ru = rel @ u
+                    rv = rel @ v
+                    a = (ru * vv_ - rv * uv) / det
+                    bb = (rv * uu - ru * uv) / det
+                    # a parallelogram whose sorted (a, b) coords are
+                    # {0,0,1,1} x {0,0,1,1} IS the unit square
+                    ab = np.sort(np.stack([a, bb], axis=1), axis=0)
+                    if np.allclose(ab, [[0, 0], [0, 0], [1, 1], [1, 1]],
+                                   atol=1e-3):
+                        row = li
+                        break
+        rows.append(row)
+    return rows
+
+
 def _prim_aabb(p: "_Prim") -> tuple[np.ndarray, np.ndarray]:
     """Conservative world-space AABB of one primitive (for the trace
     kernels' per-tile block culling).  Object-space bounds are pushed
@@ -369,7 +432,10 @@ class SceneBuilder:
         scene_ext = np.maximum(all_hi.max(axis=0) - scene_lo, 1e-6)
         groups = [(k, sorted(idxs, key=morton)) for k, idxs in groups]
 
+        light_rows = _match_lights_to_prims(self._prims, self._mat_type,
+                                            self._lights)
         ptype_arr, params_arr, mat_arr, o2w_arr, w2o_arr, slot_arr = [], [], [], [], [], []
+        lrow_arr = []
         aabb_lo, aabb_hi = [], []
         chunk_plan = []
         cursor = 0
@@ -396,6 +462,7 @@ class SceneBuilder:
                 o2w_arr.append(m[:3].astype(np.float32))
                 w2o_arr.append(np.linalg.inv(m)[:3].astype(np.float32))
                 slot_arr.append(vol_slots.get(i, -1))
+                lrow_arr.append(light_rows[i])
                 lo, hi = _prim_aabb(p)
                 aabb_lo.append(lo)
                 aabb_hi.append(hi)
@@ -406,6 +473,7 @@ class SceneBuilder:
                 o2w_arr.append(S.IDENTITY_3X4)
                 w2o_arr.append(S.IDENTITY_3X4)
                 slot_arr.append(-1)
+                lrow_arr.append(-1)
                 aabb_lo.append(np.full(3, np.inf, np.float32))
                 aabb_hi.append(np.full(3, -np.inf, np.float32))
             cursor += size
@@ -454,6 +522,7 @@ class SceneBuilder:
             tex_idx=jnp.asarray(p_tex),
             odd_idx=jnp.asarray(np.maximum(t_odd[p_tex], 0)),
             even_idx=jnp.asarray(np.maximum(t_even[p_tex], 0)),
+            light_row_p=jnp.asarray(np.array(lrow_arr, np.int32)),
         )
 
         materials = S.Materials(
@@ -513,6 +582,19 @@ class SceneBuilder:
             lights = S.Lights(position=z3, vec_u=z3, vec_v=z3, emission=z3,
                               area=jnp.ones((1,), jnp.float32), normal=z3)
 
+        # coherence-sort grid: percentile-clipped bounds of the REAL prim
+        # centers, so a single huge boundary primitive (TNW's radius-5000
+        # mist sphere, IOW's radius-1000 ground) can't stretch the grid until
+        # every interesting primitive shares one cell
+        centers = np.stack([(_prim_aabb(p)[0] + _prim_aabb(p)[1]) * 0.5
+                            for p in self._prims])
+        g_lo = np.percentile(centers, 5.0, axis=0)
+        g_hi = np.percentile(centers, 95.0, axis=0)
+        g_ext = np.maximum(g_hi - g_lo, 1e-3)
+        g_lo, g_hi = g_lo - 0.05 * g_ext, g_hi + 0.05 * g_ext
+        sort_grid = tuple(float(x) for x in g_lo) + tuple(
+            float(x) for x in np.maximum(g_hi - g_lo, 1e-3))
+
         mat_present = tuple(k in set(self._mat_type) for k in range(6))
         tex_kinds = {r["tex_type"] for r in self._tex_rows}
         tex_present = tuple(k in tex_kinds for k in range(5))
@@ -532,5 +614,6 @@ class SceneBuilder:
             tex_present=tex_present,
             vol_slots_static=tuple(slot_arr),
             block_aabbs=jnp.asarray(block_aabbs),
+            sort_grid=sort_grid,
         )
         return scene

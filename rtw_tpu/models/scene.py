@@ -100,6 +100,12 @@ class Primitives:
     tex_idx: Any        # int32 [P]   row in Textures.color
     odd_idx: Any        # int32 [P]   checker odd child row (0 if none)
     even_idx: Any       # int32 [P]   checker even child row
+    # Row of Lights this primitive realizes, or -1.  Matched geometrically at
+    # BUILD time (builder._match_lights_to_prims), so the integrator's
+    # BSDF-side MIS weight identifies the hit light exactly by prim index —
+    # no runtime plane/containment tolerances.  Emissive prims not registered
+    # as lights stay -1 (NEE can't sample them -> pdf 0 -> full BSDF weight).
+    light_row_p: Any    # int32 [P]
 
     @property
     def count(self) -> int:
@@ -276,6 +282,12 @@ class Scene:
     # trace kernel needs these at trace time to stack the right free-flight
     # uniform rows per block
     vol_slots_static: tuple = ()
+    # static coherence-sort grid (lox, loy, loz, extx, exty, extz): bounds of
+    # the scene's CORE geometry (percentile-clipped primitive centers, so one
+    # radius-5000 boundary sphere can't collapse the cell resolution) used by
+    # the wavefront coherence sort's origin-cell key (integrator
+    # ._coherence_key).  () = derive from block AABBs at trace time.
+    sort_grid: tuple = ()
 
 
 # n_vol / chunk_plan / num_lights / light_tex are static aux data (they shape
@@ -285,14 +297,14 @@ def _scene_flatten(s: Scene):
         (s.prims, s.materials, s.textures, s.lights, s.camera, s.sky_light,
          s.block_aabbs),
         (s.n_vol, s.chunk_plan, s.num_lights, s.light_tex, s.mat_present,
-         s.tex_present, s.vol_slots_static),
+         s.tex_present, s.vol_slots_static, s.sort_grid),
     )
 
 
 def _scene_unflatten(aux, leaves):
     return Scene(*leaves, n_vol=aux[0], chunk_plan=aux[1], num_lights=aux[2],
                  light_tex=aux[3], mat_present=aux[4], tex_present=aux[5],
-                 vol_slots_static=aux[6])
+                 vol_slots_static=aux[6], sort_grid=aux[7])
 
 
 jax.tree_util.register_pytree_node(Scene, _scene_flatten, _scene_unflatten)

@@ -772,6 +772,11 @@ def trace_nee_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time,
     (light_a, light_b) on light row 0 is occluded.  Lanes that miss or hit
     non-lambertian materials return shadowed=False (the integrator masks
     them out of the NEE sum anyway)."""
+    if scene.num_lights != 1:
+        raise ValueError(
+            "trace_nee_pallas samples light row 0 only and is valid solely "
+            f"for single-light scenes (num_lights={scene.num_lights}); use "
+            "trace_pallas + occluded_pallas for multi-light scenes")
     n = o.x.shape[0]
     n_pad = -(-n // TILE) * TILE
     any_xform = any(e[5] for e in scene.chunk_plan)

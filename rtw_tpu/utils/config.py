@@ -82,6 +82,21 @@ class RenderConfig:
     #          queue's flush cond would split (measured 2.6x on Cornell).
     scheduler: str = "auto"
 
+    # Bounce-wavefront coherence sort ---------------------------------------
+    # Every k wavefront iterations the work-queue scheduler re-sorts lanes by
+    # a spatial key (origin-cell Morton code + direction octant, dead lanes
+    # last) so the trace kernels' 1024-lane ray tiles stay frustum-coherent
+    # after bounces scatter them — the per-tile front-to-back traversal's
+    # best-t cut and AABB culls only fire when a tile's rays agree
+    # (ops/trace_kernel._dyn_nearest).  This is the software replacement for
+    # SER's coherence reordering (optixReorder, raygen.cu:55-58).
+    # 0 = off; k >= 1 = sort every k iterations (1 = every iteration,
+    # unconditional — cheaper than a lax.cond boundary for k <= ~2).
+    # -1 = auto: currently off everywhere (flips to the queue path once the
+    # on-chip A/B proves it; a first scene-AABB cell key measured 3.5x
+    # SLOWER than no sort on TNW — see _coherence_key's docstring).
+    sort_every: int = -1
+
     # RNG implementation -------------------------------------------------
     # "fast": stateless pcg_hash streams keyed by (seed, pixel, sample,
     #         bounce, slot) — the GPU-rendering standard, ~100x cheaper than

@@ -223,3 +223,53 @@ def test_mis_unbiased_two_lights():
     bsdf_cfg = rt.RenderConfig(nx=24, ny=24, spp=3000, max_depth=6, seed=12)
     bsdf = _render_mean(bsdf_scene, bsdf_cfg).mean()
     assert abs(mis - bsdf) / bsdf < 0.03, (mis, bsdf)
+
+
+def test_light_row_index_exact():
+    """Build-time prim->light-row matching (builder._match_lights_to_prims):
+    exact rows for multi-light scenes including the Cornell normal-offset
+    quirk (light rect at k=554.9, LightDefinition at y=554 — SURVEY §7.4
+    quirk 15), and -1 for unregistered emissive geometry."""
+    scene = rt.build_scene(0, 16, 16)
+    rows = np.asarray(scene.prims.light_row_p)
+    types = np.asarray(scene.prims.mat_type_p)
+    emissive = (types == S.MAT_DIFFUSE_LIGHT) & (np.asarray(
+        scene.prims.prim_type) == S.PRIM_RECT)
+    # despite the 0.9 offset along the normal, the light prim maps to row 0
+    assert (rows[emissive] == 0).all() and emissive.sum() == 1
+    assert (rows[~emissive] == -1).all()
+
+
+def test_mis_unbiased_coplanar_adjacent_lights():
+    """Two coplanar lights sharing an edge — the arrangement the former
+    geometric membership test (plane + parallelogram-coords tolerances) could
+    mis-attribute near the shared edge.  The build-time prim->row index is
+    exact, so MIS must still agree with brute-force BSDF-only tracing."""
+    import dataclasses
+
+    def build():
+        b = SceneBuilder()
+        grey = b.lambertian(b.constant_texture((0.7, 0.7, 0.7)))
+        b.rect(-8, 8, -8, 8, 0.0, False, S.AXIS_Y, grey)      # floor
+        # two equal-size lights tiling [-4, 4] x [-4, 4] at y=1.5, sharing
+        # the x=0 edge; identical emission so any mis-attribution shows as
+        # a pdf (not radiance) error
+        for x0, x1, li in [(-4.0, 0.0, 0), (0.0, 4.0, 1)]:
+            em = b.diffuse_light(b.constant_texture((1.0, 1.0, 1.0)))
+            b.rect(x0, x1, -4.0, 4.0, 1.5, True, S.AXIS_Y, em)
+            b.add_light(position=(x0, 1.5, -4.0), vec_u=(x1 - x0, 0.0, 0.0),
+                        vec_v=(0.0, 0.0, 8.0), emission=(1.0, 1.0, 1.0))
+        b.set_camera((0, 0.5, 0), (0, 0.0, 0), (1, 0, 0), 60, 1.0, 0.0, 0.5)
+        return b.build()
+
+    scene = build()
+    assert scene.num_lights == 2
+    rows = np.asarray(scene.prims.light_row_p)
+    assert sorted(rows[rows >= 0]) == [0, 1]
+    mis_cfg = rt.RenderConfig(nx=24, ny=24, spp=400, max_depth=6, seed=21)
+    mis = _render_mean(scene, mis_cfg).mean()
+
+    bsdf_scene = dataclasses.replace(scene, num_lights=0)
+    bsdf_cfg = rt.RenderConfig(nx=24, ny=24, spp=3000, max_depth=6, seed=22)
+    bsdf = _render_mean(bsdf_scene, bsdf_cfg).mean()
+    assert abs(mis - bsdf) / bsdf < 0.03, (mis, bsdf)

@@ -47,13 +47,24 @@ def bench_scene(sid: int, overrides: dict | None = None):
     return best
 
 
+def _coerce(v: str):
+    """k=v override values arrive as strings; RenderConfig fields are typed
+    (int/float/bool/str), so parse literals where possible."""
+    import ast
+
+    try:
+        return ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        return v
+
+
 def main(argv):
     overrides = {}
     ids = []
     for a in argv:
         if "=" in a:
             k, v = a.split("=", 1)
-            overrides[k] = v
+            overrides[k] = _coerce(v)
         else:
             ids.append(int(a))
     ids = ids or sorted(WORKLOADS)
