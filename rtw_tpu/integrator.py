@@ -214,7 +214,8 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     mp = scene.mat_present
     mat_type = shade.mat_type
     albedo = resolve_albedo(scene, shade, hit.point, hit.u, hit.v,
-                            cfg.tex_filter)
+                            cfg.tex_filter,
+                            compact=not cfg.differentiable)
     nrm = hit.normal
     n = hit.t.shape[0]
     false_n = jnp.zeros((n,), bool)
@@ -861,7 +862,6 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
 
     Returns (accum Vec3 [N] positional sums, rays, stats)."""
     n = pixel_idx.shape[0]
-    compacting = _pallas_backend(cfg, scene)
     sort_every = _resolved_sort_every(cfg, scene)
     n_items = n * n_samples
     s_init = jnp.full((n,), s0, jnp.int32)
@@ -975,20 +975,14 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
             return lax.cond(nwf.it % sort_every == 0, sortw,
                             lambda w: w, nwf)
 
-        if not compacting:
-            return nwf
-
-        # drain-tail compaction (see trace_wavefront_regen): only the global
-        # end-of-queue tail remains, but its all-dead tiles still resolve at
-        # slab-test cost when packed together
-        n_alive = jnp.sum(nwf.path.alive.astype(jnp.int32))
-        do_compact = (n_alive * 2 < nwf.thresh) & (n_alive > 0)
-
-        def compact(w):
-            w = _permute_queue(w, _alive_first_perm(w.path.alive))
-            return w._replace(thresh=n_alive)
-
-        return lax.cond(do_compact, compact, lambda w: w, nwf)
+        # NO drain-tail compaction here (unlike trace_wavefront_regen): the
+        # queue's tail is one path length, and a single compaction permutes
+        # ~20 carry planes at ~2.4 ms per [320k] gather = ~48 ms — profiled
+        # on TNW at 8.5 ms/iter amortized, several times MORE than the
+        # full-width kernel cost of the short tail it would save.  The XLA
+        # glue (shading/flush), which dominates per-iteration cost, is
+        # lockstep full-width regardless of lane order.
+        return nwf
 
     wf = lax.while_loop(cond, body, wf)
     return wf.accum, wf.rays, wf.stats

@@ -46,13 +46,43 @@ def gather_shade(scene: S.Scene, prim_idx, hit_mask) -> ShadeRec:
     )
 
 
+def _procedural_eval(scene: S.Scene, tex_type, scale, image_id, p: Vec3,
+                     u, v, present, tex_filter):
+    """Noise + image texture values for the given lanes (any width)."""
+    n = tex_type.shape[0]
+    out = V.zeros(n)
+    if present[S.TEX_NOISE]:
+        m = 0.5 * (1.0 + jnp.sin(scale * p.z
+                                 + 5.0 * turbulence(scene.textures,
+                                                    p * scale)))
+        out = V.where(tex_type == S.TEX_NOISE, Vec3(m, m, m), out)
+    if present[S.TEX_IMAGE]:
+        fetch = (_image_bilinear_565 if tex_filter == "rgb565"
+                 else _image_bilinear)
+        img = fetch(scene.textures, image_id, u, v)
+        out = V.where(tex_type == S.TEX_IMAGE, img, out)
+    return out
+
+
 def resolve_albedo(scene: S.Scene, shade: ShadeRec, p: Vec3, u, v,
-                   tex_filter: str = "rgb565") -> Vec3:
+                   tex_filter: str = "rgb565",
+                   compact: bool = False) -> Vec3:
     """Final albedo from the shading record + procedural texture kinds.
 
     Static `scene.tex_present` flags keep unreachable texture code out of
     the compiled program.  Checker children are constant colors (builder
-    enforces one nesting level; book-correct sines product, QUIRKS #10)."""
+    enforces one nesting level; book-correct sines product, QUIRKS #10).
+
+    Noise and image textures run full-width under a lax.cond that skips
+    bounces where no lane needs them.  A fixed-capacity side-queue
+    (jnp.nonzero(size=n/8) + gather/eval/scatter) was built and measured
+    on-chip in round 3: NET LOSS (TNW 6.2 -> 4.3 Mrays/s) — ~15 small
+    gathers/scatters at n/8 lanes plus the nonzero cumsum and two cond
+    boundaries cost more than the full-width eval they replace, because
+    TPU gather cost has a large per-lane constant (~11 cycles/lane) that
+    small batches do not amortize.  `compact` is accepted for API
+    stability and currently ignored."""
+    del compact
     present = scene.tex_present
     albedo = shade.rgb
 
@@ -62,33 +92,18 @@ def resolve_albedo(scene: S.Scene, shade: ShadeRec, p: Vec3, u, v,
         checker = V.where(sines < 0.0, shade.odd, shade.even)
         albedo = V.where(shade.tex_type == S.TEX_CHECKER, checker, albedo)
 
-    # Noise and image evaluation run lockstep for EVERY lane (7-octave hash
-    # turbulence ~300 VPU ops; a bilinear fetch is 4 flat gathers ~46 ms per
-    # 1M lanes) — but only the small fraction of lanes that hit the marble /
-    # earth spheres consume them.  lax.cond skips the whole block on bounces
-    # where no lane needs it (deep bounces, shadow-dominated wavefronts),
-    # the wavefront analog of OptiX only running the callables SBT records
-    # reference (texture/*.cu dispatch).
+    if not (present[S.TEX_NOISE] or present[S.TEX_IMAGE]):
+        return albedo
+
+    need = jnp.zeros((shade.tex_type.shape[0],), bool)
     if present[S.TEX_NOISE]:
-        need = shade.tex_type == S.TEX_NOISE
-
-        def _with_noise(albedo):
-            m = 0.5 * (1.0 + jnp.sin(shade.scale * p.z
-                                     + 5.0 * turbulence(scene.textures,
-                                                        p * shade.scale)))
-            return V.where(need, Vec3(m, m, m), albedo)
-
-        albedo = lax.cond(jnp.any(need), _with_noise, lambda a: a, albedo)
-
+        need = need | (shade.tex_type == S.TEX_NOISE)
     if present[S.TEX_IMAGE]:
-        need = shade.tex_type == S.TEX_IMAGE
-        fetch = (_image_bilinear_565 if tex_filter == "rgb565"
-                 else _image_bilinear)
+        need = need | (shade.tex_type == S.TEX_IMAGE)
 
-        def _with_image(albedo):
-            img = fetch(scene.textures, shade.image_id, u, v)
-            return V.where(need, img, albedo)
+    def _full(albedo):
+        val = _procedural_eval(scene, shade.tex_type, shade.scale,
+                               shade.image_id, p, u, v, present, tex_filter)
+        return V.where(need, val, albedo)
 
-        albedo = lax.cond(jnp.any(need), _with_image, lambda a: a, albedo)
-
-    return albedo
+    return lax.cond(jnp.any(need), _full, lambda a: a, albedo)

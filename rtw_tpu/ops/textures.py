@@ -85,17 +85,42 @@ def turbulence(tex: S.Textures, p: Vec3, octaves: int = 7):
     return jnp.abs(accum)
 
 
+def _image_geometry(tex: S.Textures, image_id):
+    """Per-lane (h, w, offset) of each lane's image WITHOUT per-lane table
+    gathers: scenes carry 1-4 images, so an unrolled masked select over the
+    static table rows costs a few [N] elementwise selects — a per-lane
+    gather costs ~11.5 ms per 1M lanes on TPU even against a 1-row table
+    (measured: these three lookups were ~half the texture-branch gather
+    time on TNW).  Falls back to gathers for implausibly many images."""
+    n_img = tex.image_offset.shape[0]
+    if n_img == 1:
+        shp = image_id.shape
+        return (jnp.broadcast_to(tex.image_dims[0, 0], shp),
+                jnp.broadcast_to(tex.image_dims[0, 1], shp),
+                jnp.broadcast_to(tex.image_offset[0], shp))
+    if n_img <= 4:
+        h_i = jnp.broadcast_to(tex.image_dims[0, 0], image_id.shape)
+        w_i = jnp.broadcast_to(tex.image_dims[0, 1], image_id.shape)
+        off = jnp.broadcast_to(tex.image_offset[0], image_id.shape)
+        for r in range(1, n_img):
+            sel = image_id == r
+            h_i = jnp.where(sel, tex.image_dims[r, 0], h_i)
+            w_i = jnp.where(sel, tex.image_dims[r, 1], w_i)
+            off = jnp.where(sel, tex.image_offset[r], off)
+        return h_i, w_i, off
+    return (tex.image_dims[:, 0][image_id], tex.image_dims[:, 1][image_id],
+            tex.image_offset[image_id])
+
+
 def _image_bilinear(tex: S.Textures, image_id, u, v) -> Vec3:
     """Normalized-coordinate bilinear fetch with clamp addressing — the
     explicit form of the reference's cudaTextureObject_t setup
     (ioTexture.h:293-311: clamp, linear filter, normalized floats).
 
     4 flat uint32 gathers from the RGB8-packed atlas + bit unpack (see
-    Textures.images_packed); per-image dims/offset come from 1-row-or-tiny
-    tables."""
-    h_i = tex.image_dims[:, 0][image_id]
-    w_i = tex.image_dims[:, 1][image_id]
-    off = tex.image_offset[image_id]
+    Textures.images_packed); per-image dims/offset resolve gather-free
+    (_image_geometry)."""
+    h_i, w_i, off = _image_geometry(tex, image_id)
     h = h_i.astype(jnp.float32)
     w = w_i.astype(jnp.float32)
     x = u * w - 0.5
@@ -134,9 +159,7 @@ def _image_bilinear_565(tex: S.Textures, image_id, u, v) -> Vec3:
     and y1; each pair word carries texels x0 and x0+1) instead of the four
     of `_image_bilinear`.  ~1.5% color quantization (5/6/5 bits), the
     documented trade for halving the dominant gather cost (QUIRKS.md)."""
-    h_i = tex.image_dims[:, 0][image_id]
-    w_i = tex.image_dims[:, 1][image_id]
-    off = tex.image_offset[image_id]
+    h_i, w_i, off = _image_geometry(tex, image_id)
     h = h_i.astype(jnp.float32)
     w = w_i.astype(jnp.float32)
     x = u * w - 0.5
