@@ -806,7 +806,12 @@ class _QueueState(NamedTuple):
     stats: Any         # () or WavefrontStats
 
 
-_FLUSH_DENOM = 0   # 0 = flush every iteration; k>0 = flush at pending > N/k
+def _resolved_flush_denom(cfg) -> int:
+    """cfg.flush_denom (see config.py); module hook kept for experiments."""
+    return cfg.flush_denom if _FLUSH_DENOM is None else _FLUSH_DENOM
+
+
+_FLUSH_DENOM = None   # experiment override; None = use cfg.flush_denom
 
 
 def _permute_queue(wf: _QueueState, perm) -> _QueueState:
@@ -946,19 +951,21 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
             pending=pending, rays=st.ray_count, it=wf.it + 1, stats=stats,
         )
 
-        # Flush policy (measured on one chip, scenes 1/4): running the
-        # scatter + cumsum + RNG-rekey + camera-regen block EVERY iteration
-        # beats parking pending lanes behind a lax.cond threshold — the cond
-        # forces the whole ~35-plane carry through a conditional boundary
-        # each iteration, which costs more than the flush work it skips
-        # (scene 4: 6.2 vs 5.2 Mrays/s, scene 1: 8.7 vs 6.2).
-        if _FLUSH_DENOM <= 0:
+        # Flush policy (cfg.flush_denom, re-measured round 3 after the
+        # drain-tail compaction was removed): deferring the flush behind a
+        # pending >= N/k threshold skips its ~9 ms scatter/gather block on
+        # most iterations and now WINS (scene 4 7.4 -> 9.9, scene 2
+        # 12.8 -> 15.0 Mrays/s at k=4).  Round 2 measured the opposite with
+        # the compaction cond also in the body (two lax.cond boundaries per
+        # iteration cost more than either alone saved).
+        fd = _resolved_flush_denom(cfg)
+        if fd <= 0:
             nwf = flush(nwf)
         else:
             n_pend = jnp.sum(pending.astype(jnp.int32))
             n_run = jnp.sum(running.astype(jnp.int32))
-            do_flush = (n_pend * _FLUSH_DENOM >= n) | ((n_run == 0)
-                                                       & (n_pend > 0))
+            do_flush = (n_pend * fd >= n) | ((n_run == 0)
+                                             & (n_pend > 0))
             nwf = lax.cond(do_flush, flush, lambda w: w, nwf)
 
         # coherence sort (cfg.sort_every): regroup scattered bounce rays into

@@ -97,6 +97,22 @@ class RenderConfig:
     # SLOWER than no sort on TNW — see _coherence_key's docstring).
     sort_every: int = -1
 
+    # Work-queue flush policy ----------------------------------------------
+    # The queue scheduler's flush (scatter finished samples, claim new
+    # items, regenerate camera rays) costs ~9 ms per 320k lanes (3
+    # scatter-adds + a pixel gather + cumsum).  k > 0 defers it behind a
+    # lax.cond until pending lanes exceed N/k (or the queue drains), so
+    # most iterations skip that work entirely; pending lanes idle ~1-2
+    # iterations.  Measured on one chip (800x400 depth 20), Mrays/s by k:
+    # scene 4: k=0 7.4 | k=2 10.05 | k=4 9.9 | k=8 9.3
+    # scene 2: k=0 12.8 | k=2 15.6 | k=4 15.0 | k=8 14.6
+    # scene 1: k=0 14.2 | k=2 17.7 | k=4 15.4
+    # NOTE round 2 measured k>0 as a LOSS with the drain-tail compaction
+    # still present — two lax.cond boundaries per iteration cost more than
+    # either alone saved; re-measure when the body's structure changes.
+    # 0 = flush every iteration, unconditional.
+    flush_denom: int = 2
+
     # RNG implementation -------------------------------------------------
     # "fast": stateless pcg_hash streams keyed by (seed, pixel, sample,
     #         bounce, slot) — the GPU-rendering standard, ~100x cheaper than
