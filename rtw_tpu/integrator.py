@@ -850,11 +850,13 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
     (rank = its position among this iteration's finishers), so occupancy
     stays ~100% until the global queue drains, with a tail bounded by ONE
     path length (~max_depth) instead of a whole straggler pixel's sample
-    budget.  Versus per-lane regeneration (trace_wavefront_regen), which
-    measured 135 iterations at 17% occupancy on TNW-final because glass /
-    volume pixels trace 5-10x the bounces of sky pixels: the per-iteration
-    full-width XLA shading work is the dominant cost, so idle lanes bill
-    almost as much as live ones.
+    budget.  Versus per-lane regeneration (trace_wavefront_regen): TNW
+    measures 135 iterations at 0.17 mean occupancy (regen) vs 44 at 0.53
+    (queue) — committed curves in docs/occupancy.json, summary in
+    docs/OCCUPANCY.md — because glass / volume pixels trace 5-10x the
+    bounces of sky pixels and the per-iteration full-width XLA shading
+    work is the dominant cost, so idle lanes bill almost as much as live
+    ones.
 
     Estimator: identical samples (RNG is keyed by logical (pixel, sample)
     only); per-pixel sums are reassociated in claim order, so the image is

@@ -1,7 +1,14 @@
-"""Throwaway: cost of per-iteration wavefront sorting at N=320k on TPU.
+"""Cost of per-iteration wavefront sorting at N=320k on TPU — KEPT AS A
+CAUTIONARY MEASUREMENT.
 
-Measures: key computation + argsort + K-plane gather permutation, the three
-components of a direction-octant / origin-cell wavefront sort.
+Standalone results (one chip, round 3): keyfn 0.06 ms, lax.sort 0.03 ms,
+26-plane permute 0.21 ms.  These numbers do NOT transfer into a
+while_loop body: the same permutation applied to the wavefront carry
+in situ measured ~74 ms/iteration (TNW 6.2 -> 1.7 Mrays/s), including
+with an identity permutation — TPU gathers cost ~11 cycles/lane and the
+loop context denies whatever fusion made the standalone version cheap.
+See docs/QUIRKS.md "Wavefront scheduler economics".  Always cost
+permutations inside the loop they will live in.
 """
 import os
 import sys

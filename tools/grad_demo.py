@@ -58,6 +58,13 @@ def main():
     ap.add_argument("--chunk", type=int, default=2)
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--lr", type=float, default=0.6)
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable jax.checkpoint on the bounce scan "
+                         "(peak-memory comparison for docs/GRADIENTS.md)")
+    ap.add_argument("--mem-analysis", action="store_true",
+                    help="also compile remat/chunk variants and report "
+                         "XLA's planned temp-buffer sizes (the tunnel "
+                         "device exposes no runtime memory_stats)")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +76,7 @@ def main():
 
     n = args.size
     cfg = rt.RenderConfig(nx=n, ny=n, spp=args.spp, max_depth=8,
-                          differentiable=True, remat=True)
+                          differentiable=True, remat=not args.no_remat)
     scene, ball_row = demo_scene(1.0)
     key = R.base_key(11)
     pix = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
@@ -89,19 +96,48 @@ def main():
     losses = []
     for step in range(args.steps):
         loss, grads = loss_grad(params, target, pix, key)
-        g = grads["tex_color"]
-        # descend only on texture colors (camera frozen for the demo)
-        params["tex_color"] = jnp.clip(
-            params["tex_color"] - args.lr * g * cfg.num_pixels * 3, 0.0, 1.0)
+        # normalized descent on the BALL's albedo row only (matching the
+        # perturbation; a whole-table update would clip the light's 5.0
+        # emission row to 1 and darken the scene).  Normalized because the
+        # absolute gradient scale grows with pixel count — the demo's claim
+        # is that the gradient DIRECTION recovers the albedo.
+        gball = grads["tex_color"][ball_row]
+        lr = args.lr * (0.88 ** max(0, step - 8))   # decay once near optimum
+        step_v = lr * gball / (jnp.max(jnp.abs(gball)) + 1e-20)
+        params["tex_color"] = params["tex_color"].at[ball_row].set(
+            jnp.clip(params["tex_color"][ball_row] - step_v, 0.0, 1.0))
         losses.append(float(loss))
         print(f"step {step}: loss {float(loss):.3e}", file=sys.stderr,
               flush=True)
     wall = time.perf_counter() - t0
 
+    mem = {}
+    if args.mem_analysis:
+        # XLA's compile-time buffer plan (axon tunnel devices return no
+        # runtime memory_stats): temp_size is the backward-pass residual
+        # footprint that remat + spp-chunking exist to bound (SURVEY §7.3)
+        import dataclasses
+        from rtw_tpu.diff import make_loss_and_grad
+
+        def planned_mb(remat: bool, ns: int) -> float:
+            cfg_v = dataclasses.replace(cfg, remat=remat, spp=ns)
+            fn = make_loss_and_grad(scene, cfg_v, ns)
+            tgt = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+            c = fn.lower(true_params, tgt, pix, key).compile()
+            return round(c.memory_analysis().temp_size_in_bytes / 1e6, 1)
+
+        mem = {
+            "planned_temp_mb_full_noremat": planned_mb(False, args.spp),
+            "planned_temp_mb_full_remat": planned_mb(True, args.spp),
+            "planned_temp_mb_chunk_remat": planned_mb(True, args.chunk),
+        }
+
     got = np.asarray(params["tex_color"][ball_row])
     want = np.asarray(true_params["tex_color"][ball_row])
     print(json.dumps({
+        **mem,
         "size": n, "spp": args.spp, "spp_chunk": args.chunk,
+        "remat": not args.no_remat,
         "steps": args.steps,
         "loss_first": round(losses[0], 6), "loss_last": round(losses[-1], 6),
         "ball_albedo_recovered": [round(float(x), 4) for x in got],
