@@ -514,6 +514,48 @@ def _stats_update(st: WavefrontStats, alive, depth, it) -> WavefrontStats:
     )
 
 
+def _mega_backend(cfg, scene) -> bool:
+    """Static choice of the whole-bounce megakernel scheduler
+    (ops/mega_kernel.py): the small-scene tier where the pure-XLA bounce is
+    HBM-bound streaming the carry through ~50 fusion kernels.  Gated to
+    exactly the features the kernel implements: fast hash RNG (bit-exact
+    in-kernel), <= 1 light, no noise/image textures (no in-kernel atlas),
+    no bounce_stats instrumentation, non-differentiable, real TPU."""
+    if cfg.backend == "mega":
+        _validate_mega(cfg, scene)
+        return True
+    if cfg.backend != "auto":
+        return False
+    n_prims = sum(e[1] for e in scene.chunk_plan)
+    return (not cfg.differentiable and not cfg.bounce_stats
+            and cfg.rng == "fast" and scene.num_lights <= 1
+            and not scene.tex_present[S.TEX_NOISE]
+            and not scene.tex_present[S.TEX_IMAGE]
+            and n_prims < 128
+            and jax.default_backend() == "tpu")
+
+
+def _validate_mega(cfg, scene):
+    """Forced backend="mega" must fail loudly outside the kernel's feature
+    envelope instead of rendering wrong."""
+    problems = []
+    if cfg.differentiable:
+        problems.append("differentiable=True (no in-kernel VJP)")
+    if cfg.bounce_stats:
+        problems.append("bounce_stats=True (no in-kernel instrumentation)")
+    if cfg.rng != "fast":
+        problems.append(f"rng={cfg.rng!r} (only 'fast' is replicated "
+                        "in-kernel)")
+    if scene.num_lights > 1:
+        problems.append(f"num_lights={scene.num_lights} (kernel NEE is "
+                        "single-light)")
+    if scene.tex_present[S.TEX_NOISE] or scene.tex_present[S.TEX_IMAGE]:
+        problems.append("noise/image textures (no in-kernel atlas fetch)")
+    if problems:
+        raise ValueError("backend='mega' unsupported for this render: "
+                         + "; ".join(problems))
+
+
 def _resolved_sort_every(cfg, scene) -> int:
     """Static resolution of cfg.sort_every (-1 = auto; see config.py)."""
     if cfg.sort_every >= 0:
@@ -644,14 +686,70 @@ def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int,
     if sched == "auto":
         # queue pays for itself when pixel-difficulty variance strands the
         # wavefront — the >=128-prim Pallas scenes.  Small scenes run the
-        # pure-XLA sweep whose whole bounce fuses into a handful of kernels;
-        # there the queue's lax.cond flush would split that fusion (measured
-        # 3.6x on Cornell for the same reason compaction is compiled out).
+        # whole-bounce megakernel when eligible (regen semantics, VMEM-
+        # resident state; see _mega_backend), else the pure-XLA sweep whose
+        # whole bounce fuses into a handful of kernels — there the queue's
+        # lax.cond flush would split that fusion (measured 3.6x on Cornell
+        # for the same reason compaction is compiled out).
+        if _mega_backend(cfg, scene):
+            return trace_wavefront_mega(scene, cfg, pixel_idx, key, s0,
+                                        n_samples)
         sched = "queue" if _pallas_backend(cfg, scene) else "regen"
+    if sched == "mega":
+        return trace_wavefront_mega(scene, cfg, pixel_idx, key, s0,
+                                    n_samples)
     if sched == "queue":
         return trace_wavefront_queue(scene, cfg, pixel_idx, key, s0,
                                      n_samples)
     return trace_wavefront_regen(scene, cfg, pixel_idx, key, s0, n_samples)
+
+
+def trace_wavefront_mega(scene: S.Scene, cfg, pixel_idx, key, s0: int,
+                         n_samples: int):
+    """Regenerating wavefront with the whole iteration fused into one
+    Pallas launch (ops/mega_kernel.py): trace + shade + NEE + RR + sample
+    accumulation + ray regeneration execute on a VMEM-resident ray tile,
+    so HBM traffic per iteration is one carry read + write instead of the
+    ~50 fusion-kernel streams of the pure-XLA body.  Estimator: identical
+    logical samples to trace_wavefront_regen (same fast-RNG draw chain,
+    replicated bit-exactly in-kernel); on real TPU hardware the
+    transcendental units approximate sin/cos/log at ~1e-6 relative, so
+    per-path fp equality with the XLA path is statistical, not bitwise
+    (interpret mode matches tightly; tests/test_mega.py)."""
+    from rtw_tpu.ops import mega_kernel as MK
+
+    n = pixel_idx.shape[0]
+    n_pad = -(-n // 1024) * 1024
+    if n_pad != n:
+        pixel_idx = jnp.concatenate(
+            [pixel_idx, jnp.zeros((n_pad - n,), jnp.int32)])
+    sf = jnp.zeros((MK.NF, n_pad), jnp.float32)
+    sf = sf.at[MK.F_PPDF, :].set(1.0)
+    si = jnp.zeros((MK.NI, n_pad), jnp.int32)
+    si = si.at[MK.I_SAMPLE, :].set(s0)
+    si = si.at[MK.I_PIXEL, :].set(pixel_idx)
+    if n_pad != n:
+        # padded lanes: sample cursor already at the end -> never regenerate
+        si = si.at[MK.I_SAMPLE, n:].set(s0 + n_samples)
+    parf, pari = MK.mega_params(scene, key, cfg)
+    pari = pari.at[0, MK.PI_SEND].set(
+        jnp.asarray(s0, jnp.int32) + n_samples)
+
+    def cond(carry):
+        sf, si, rays = carry
+        return jnp.any((si[MK.I_ALIVE] > 0)
+                       | (si[MK.I_SAMPLE] < pari[0, MK.PI_SEND]))
+
+    def body(carry):
+        sf, si, rays = carry
+        sf2, si2, r = MK.mega_step(scene, cfg, sf, si, parf, pari)
+        return sf2, si2, rays + jnp.sum(r)
+
+    sf, si, rays = lax.while_loop(
+        cond, body, (sf, si, jnp.zeros((), jnp.float32)))
+    accum = Vec3(sf[MK.F_ACC, :n], sf[MK.F_ACC + 1, :n],
+                 sf[MK.F_ACC + 2, :n])
+    return accum, rays, ()
 
 
 def trace_wavefront_regen(scene: S.Scene, cfg, pixel_idx, key, s0: int,

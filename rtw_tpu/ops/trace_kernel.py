@@ -169,6 +169,15 @@ def _block_test(props_ref, vu_ref, vol_slots, entry, b0, o, d, tmin, tmax,
     return jnp.where(valid, t, BIG), C
 
 
+def _use_block_culls(chunk_plan) -> bool:
+    """Whether the static sweep guards each block test behind an AABB cull
+    (@pl.when).  Mosaic control flow costs real per-branch overhead
+    (scalar-unit predicate + jump), which at Cornell scale (~6 blocks) was
+    comparable to the block tests themselves — small scenes run the
+    straight-line sweep instead."""
+    return sum(e[2] // e[6] for e in chunk_plan) > 8
+
+
 def _is_dynamic(entry) -> bool:
     """Groups traversed with the dynamic front-to-back block loop: enough
     blocks that ordering/culling pays, and a type whose test needs no
@@ -315,23 +324,39 @@ def _dyn_occl(entry, g_bid, props_ref, aabb_ref, nm_ref, occ_ref,
 
 def _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref):
     """Merge one block's [C, n] t-matrix into the running (t, prim, props)
-    winner.  The winner's property record is fetched with a one-hot matmul
-    (an exact gather on the MXU).  HIGHEST precision: the default TPU matmul
-    truncates fp32 inputs to bf16, corrupting gathered geometry; the
-    multi-pass f32 emulation recovers full precision."""
+    winner.
+
+    The winner's property record fetch is exact either way; the route
+    depends on block width:
+    - C <= 16: VPU masked accumulation (C x K outer products).  A [K, C] @
+      [C, n] one-hot matmul contracts only C deep on the 128-wide systolic
+      array — C/128 utilization, times the ~6-pass f32 emulation — and the
+      small-block merges dominated the Cornell whole-bounce kernel
+      (measured 88 -> see BASELINE round 3 after this change).
+    - larger C: one-hot matmul on the MXU at HIGHEST precision (the default
+      TPU matmul truncates fp32 inputs to bf16, corrupting gathered
+      geometry; the multi-pass f32 emulation recovers full precision)."""
     n = t.shape[1]
     c_t = jnp.min(t, axis=0)
     c_arg = jnp.argmin(t, axis=0).astype(jnp.int32)
     best_t = bt_ref[0, :]
     better = c_t < best_t
 
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (C, n), 0)
-              == c_arg[None, :]).astype(jnp.float32)
-    blk_props = jax.lax.dot_general(
-        props_ref[pl.ds(b0, C), :], onehot,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)      # [K, n]
+    if C <= 16:
+        blk = props_ref[pl.ds(b0, C), :]          # [C, K]
+        acc = blk[0, :][:, None] * (c_arg == 0).astype(jnp.float32)[None, :]
+        for c in range(1, C):
+            m = (c_arg == c).astype(jnp.float32)[None, :]
+            acc = acc + blk[c, :][:, None] * m
+        blk_props = acc                           # [K, n]
+    else:
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (C, n), 0)
+                  == c_arg[None, :]).astype(jnp.float32)
+        blk_props = jax.lax.dot_general(
+            props_ref[pl.ds(b0, C), :], onehot,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)   # [K, n]
 
     bt_ref[0, :] = jnp.where(better, c_t, best_t)
     bi_ref[0, :] = jnp.where(better, b0 + c_arg, bi_ref[0, :])
@@ -373,6 +398,7 @@ def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
     bi_ref[:, :] = jnp.full((1, n), -1, jnp.int32)
     bp_ref[:, :] = jnp.zeros_like(bp_ref)
 
+    culls = _use_block_culls(chunk_plan)
     blk_id = 0
     for entry in chunk_plan:
         start, count, size, ptype, axis, has_xform, block = entry
@@ -384,14 +410,18 @@ def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
         for b0 in range(start, start + size, block):
             bid = blk_id
             blk_id += 1
-            active = _block_active(aabb_ref, bid, o, d, tmin, tmax,
-                                   bt_ref[0, :])
 
-            @pl.when(jnp.any(active))
-            def _(entry=entry, b0=b0):
+            def run_block(entry=entry, b0=b0):
                 t, C = _block_test(props_ref, vu_ref, vol_slots, entry, b0,
                                    o, d, tmin, tmax, time, vu_base)
                 _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref)
+
+            if culls:
+                active = _block_active(aabb_ref, bid, o, d, tmin, tmax,
+                                       bt_ref[0, :])
+                pl.when(jnp.any(active))(run_block)
+            else:
+                run_block()
 
     best_t = bt_ref[0, :]
     best_i = bi_ref[0, :]
@@ -583,6 +613,7 @@ def _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref,
     n = o.x.shape[0]
     occ_ref[:, :] = jnp.zeros((1, n), jnp.float32)
 
+    culls = _use_block_culls(chunk_plan)
     blk_id = 0
     for entry in chunk_plan:
         start, count, size, ptype, axis, has_xform, block = entry
@@ -594,18 +625,23 @@ def _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref,
         for b0 in range(start, start + size, block):
             bid = blk_id
             blk_id += 1
-            pending = occ_ref[0, :] < 0.5
-            if want is not None:
-                pending = pending & want
-            active = pending & _block_active(aabb_ref, bid, o, d, tmin, tmax,
-                                             jnp.full((n,), BIG, jnp.float32))
 
-            @pl.when(jnp.any(active))
-            def _(entry=entry, b0=b0):
+            def run_block(entry=entry, b0=b0):
                 t, _C = _block_test(props_ref, vu_ref, vol_slots, entry, b0,
                                     o, d, tmin, tmax, time, vu_base)
                 hit_any = jnp.max((t < BIG).astype(jnp.float32), axis=0)
                 occ_ref[0, :] = jnp.maximum(occ_ref[0, :], hit_any)
+
+            if culls:
+                pending = occ_ref[0, :] < 0.5
+                if want is not None:
+                    pending = pending & want
+                active = pending & _block_active(
+                    aabb_ref, bid, o, d, tmin, tmax,
+                    jnp.full((n,), BIG, jnp.float32))
+                pl.when(jnp.any(active))(run_block)
+            else:
+                run_block()
 
 
 def _occl_body(chunk_plan, vol_slots, n_vol, tmin, rays_ref, vu_ref,

@@ -1,0 +1,69 @@
+"""Whole-bounce megakernel equivalence (ops/mega_kernel.py).
+
+Interpreter-mode runs on CPU so the suite covers the fused kernel's full
+estimator logic — trace, all material branches, NEE + MIS, RR, sample
+accumulation and in-kernel ray regeneration — against the pure-JAX
+reference scheduler (trace_wavefront_regen), which draws the identical
+fast-RNG uniform chain.  In interpret mode the transcendentals are exact
+XLA ops, so agreement is tight; on real TPU hardware sin/cos/log are
+~1e-6 approximations and parity is statistical (covered by the on-chip
+bench assertions + goldens, not here).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import rtw_tpu as rt
+from rtw_tpu.integrator import (trace_wavefront_mega, trace_wavefront_regen,
+                                _mega_backend)
+from rtw_tpu.utils import rng as R
+
+
+@pytest.mark.parametrize("sid", [0, 3, 5])
+def test_mega_matches_regen(sid):
+    """Scenes spanning the megakernel's feature envelope: Cornell (light +
+    NEE + MIS + metal box + glass), Cornell volumes (isotropic media,
+    free-flight sampling), three-sphere (sky miss, checker ground,
+    dielectric)."""
+    nx, ny = 48, 24
+    cfg = rt.RenderConfig(nx=nx, ny=ny, spp=3, max_depth=6, scene_id=sid,
+                          seed=9)
+    scene = rt.build_scene(sid, nx, ny)
+    pix = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    key = R.base_key(cfg.seed)
+
+    ref, ref_rays, _ = jax.jit(
+        lambda: trace_wavefront_regen(scene, cfg, pix, key, 0, cfg.spp))()
+    with pltpu.force_tpu_interpret_mode():
+        got, rays, _ = jax.jit(
+            lambda: trace_wavefront_mega(scene, cfg, pix, key, 0, cfg.spp))()
+
+    a = np.stack([np.asarray(c) for c in ref])
+    b = np.stack([np.asarray(c) for c in got])
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, atol=2e-4, rtol=2e-4)
+    # ray accounting agrees exactly (same paths, same NEE activations)
+    assert float(rays) == pytest.approx(float(ref_rays), rel=1e-6)
+
+
+def test_mega_backend_gating():
+    """Auto-selection: only small constant/checker-texture fast-RNG scenes
+    on real TPU; everything else keeps its measured-best path."""
+    cfg = rt.RenderConfig(nx=8, ny=8, spp=1)
+    s0 = rt.build_scene(0, 8, 8)
+    s2 = rt.build_scene(2, 8, 8)     # earth/marble textures -> excluded
+    on_tpu = jax.default_backend() == "tpu"
+    assert _mega_backend(cfg, s0) == on_tpu
+    assert not _mega_backend(cfg, s2)
+    import dataclasses
+    assert not _mega_backend(dataclasses.replace(cfg, rng="threefry"), s0)
+    assert not _mega_backend(dataclasses.replace(cfg, differentiable=True),
+                             s0)
+    assert not _mega_backend(dataclasses.replace(cfg, bounce_stats=True), s0)
+    # forcing the backend validates the feature envelope loudly
+    assert _mega_backend(dataclasses.replace(cfg, backend="mega"), s0)
+    with pytest.raises(ValueError, match="noise/image"):
+        _mega_backend(dataclasses.replace(cfg, backend="mega"), s2)

@@ -45,6 +45,23 @@ def test_queue_scheduler_mesh_allclose(small_setup):
         np.testing.assert_allclose(im, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_queue_flush_policy_estimator_neutral(small_setup):
+    """cfg.flush_denom only reorders flush timing — identical per-pixel
+    sample sets, so images agree to fp-reassociation tolerance across
+    flush-every-iteration (0), the default deferred policy, and an extreme
+    defer (8)."""
+    scene, cfg_regen = small_setup
+    import dataclasses
+
+    imgs = []
+    for fd in (0, 2, 8):
+        cfg = dataclasses.replace(cfg_regen, scheduler="queue",
+                                  flush_denom=fd)
+        imgs.append(np.asarray(rt.render(scene, cfg)))
+    np.testing.assert_allclose(imgs[1], imgs[0], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(imgs[2], imgs[0], atol=1e-5, rtol=1e-5)
+
+
 def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
