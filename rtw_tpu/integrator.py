@@ -135,7 +135,8 @@ def _light_pdf_at(scene: S.Scene, origin: Vec3, point: Vec3, dir_unit: Vec3,
     d = point - origin
     dist2 = jnp.where(mask, d.dot(d), 1.0)
 
-    if L == 1:
+    if L == 1 and not scene.emissives_unregistered:
+        # every emissive prim IS light row 0: closed form, no row gather
         ln = V.v3(lights.normal[0])
         area = lights.area[0]
         cos_t = jnp.abs(dir_unit.dot(ln))
@@ -529,6 +530,7 @@ def _mega_backend(cfg, scene) -> bool:
     n_prims = sum(e[1] for e in scene.chunk_plan)
     return (not cfg.differentiable and not cfg.bounce_stats
             and cfg.rng == "fast" and scene.num_lights <= 1
+            and not scene.emissives_unregistered
             and not scene.tex_present[S.TEX_NOISE]
             and not scene.tex_present[S.TEX_IMAGE]
             and n_prims < 128
@@ -549,6 +551,9 @@ def _validate_mega(cfg, scene):
     if scene.num_lights > 1:
         problems.append(f"num_lights={scene.num_lights} (kernel NEE is "
                         "single-light)")
+    if scene.emissives_unregistered:
+        problems.append("unregistered emissive prims (kernel MIS "
+                        "attributes all emissive hits to light row 0)")
     if scene.tex_present[S.TEX_NOISE] or scene.tex_present[S.TEX_IMAGE]:
         problems.append("noise/image textures (no in-kernel atlas fetch)")
     if problems:
@@ -585,12 +590,25 @@ def _coherence_key(scene: S.Scene, path: PathState, item_pos):
       rays (all one cell, 1-2 octants at 20-40 deg fov) regroup into the
       32x32-pixel frusta the unsorted scheduler gets for free, instead of
       being shuffled image-wide by whatever order earlier sorts left."""
-    g = scene.sort_grid
     o, d = path.origin, path.direction
+    if scene.sort_grid:
+        g = scene.sort_grid
+        lo = [np.float32(g[ax]) for ax in range(3)]
+        scl = [np.float32(8.0 / g[3 + ax]) for ax in range(3)]
+    else:
+        # documented fallback for Scenes built without SceneBuilder: derive
+        # bounds from the finite block AABBs (no percentile clipping)
+        ab = scene.block_aabbs
+        finite = (ab[:, 3] >= ab[:, 0])[:, None]
+        glo = jnp.min(jnp.where(finite, ab[:, 0:3], np.float32(BIG)), axis=0)
+        ghi = jnp.max(jnp.where(finite, ab[:, 3:6], np.float32(-BIG)),
+                      axis=0)
+        ext = jnp.maximum(ghi - glo, 1e-6)
+        lo = [glo[ax] for ax in range(3)]
+        scl = [8.0 / ext[ax] for ax in range(3)]
 
     def q3(c, ax):
-        cell = jnp.clip((c - np.float32(g[ax])) * np.float32(8.0 / g[3 + ax]),
-                        0.0, 7.0)
+        cell = jnp.clip((c - lo[ax]) * scl[ax], 0.0, 7.0)
         return cell.astype(jnp.int32)
 
     def spread3(x):  # 3 bits -> every 3rd position
@@ -696,6 +714,7 @@ def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int,
                                         n_samples)
         sched = "queue" if _pallas_backend(cfg, scene) else "regen"
     if sched == "mega":
+        _validate_mega(cfg, scene)   # fail loudly outside the envelope
         return trace_wavefront_mega(scene, cfg, pixel_idx, key, s0,
                                     n_samples)
     if sched == "queue":
@@ -719,7 +738,7 @@ def trace_wavefront_mega(scene: S.Scene, cfg, pixel_idx, key, s0: int,
     from rtw_tpu.ops import mega_kernel as MK
 
     n = pixel_idx.shape[0]
-    n_pad = -(-n // 1024) * 1024
+    n_pad = -(-n // MK.TILE) * MK.TILE
     if n_pad != n:
         pixel_idx = jnp.concatenate(
             [pixel_idx, jnp.zeros((n_pad - n,), jnp.int32)])

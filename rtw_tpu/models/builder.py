@@ -116,11 +116,15 @@ def _match_lights_to_prims(prims: list["_Prim"], mat_type: list[int],
                            lights: list[dict]) -> list[int]:
     """Per-prim light row (-1 if none): which Lights row each emissive rect
     primitive realizes.  A prim matches light row l when its corners, mapped
-    into the light parallelogram's (u, v) frame, land on the unit square —
-    with slack along the light normal, because reference scenes deliberately
-    offset the light geometry off the sampled plane (Cornell: rect prim at
-    k=554.9, LightDefinition at y=554, ioScene.h:534/605-612 — SURVEY §7.4
-    quirk 15)."""
+    into the light parallelogram's (u, v) frame, lie WITHIN the unit square
+    (containment, not equality: a light may be realized by several prims
+    tiling it) — with slack along the light normal, because reference
+    scenes deliberately offset the light geometry off the sampled plane
+    (Cornell: rect prim at k=554.9, LightDefinition at y=554,
+    ioScene.h:534/605-612 — SURVEY §7.4 quirk 15).  A prim only PARTLY
+    overlapping a light (hanging outside it) stays -1: its row would be
+    wrong for hits outside the light; such arrangements need per-hit
+    attribution nothing in the reference requires."""
     rows = []
     for p in prims:
         row = -1
@@ -143,11 +147,8 @@ def _match_lights_to_prims(prims: list["_Prim"], mat_type: list[int],
                     rv = rel @ v
                     a = (ru * vv_ - rv * uv) / det
                     bb = (rv * uu - ru * uv) / det
-                    # a parallelogram whose sorted (a, b) coords are
-                    # {0,0,1,1} x {0,0,1,1} IS the unit square
-                    ab = np.sort(np.stack([a, bb], axis=1), axis=0)
-                    if np.allclose(ab, [[0, 0], [0, 0], [1, 1], [1, 1]],
-                                   atol=1e-3):
+                    if (a > -1e-3).all() and (a < 1 + 1e-3).all() \
+                            and (bb > -1e-3).all() and (bb < 1 + 1e-3).all():
                         row = li
                         break
         rows.append(row)
@@ -585,15 +586,20 @@ class SceneBuilder:
         # coherence-sort grid: percentile-clipped bounds of the REAL prim
         # centers, so a single huge boundary primitive (TNW's radius-5000
         # mist sphere, IOW's radius-1000 ground) can't stretch the grid until
-        # every interesting primitive shares one cell
-        centers = np.stack([(_prim_aabb(p)[0] + _prim_aabb(p)[1]) * 0.5
-                            for p in self._prims])
+        # every interesting primitive shares one cell.  all_lo/all_hi were
+        # computed above for the Morton ordering — reuse them.
+        centers = (all_lo + all_hi) * 0.5
         g_lo = np.percentile(centers, 5.0, axis=0)
         g_hi = np.percentile(centers, 95.0, axis=0)
         g_ext = np.maximum(g_hi - g_lo, 1e-3)
         g_lo, g_hi = g_lo - 0.05 * g_ext, g_hi + 0.05 * g_ext
         sort_grid = tuple(float(x) for x in g_lo) + tuple(
             float(x) for x in np.maximum(g_hi - g_lo, 1e-3))
+
+        emissives_unregistered = bool(self._lights) and any(
+            self._mat_type[p.material] == S.MAT_DIFFUSE_LIGHT
+            and light_rows[i] < 0
+            for i, p in enumerate(self._prims))
 
         mat_present = tuple(k in set(self._mat_type) for k in range(6))
         tex_kinds = {r["tex_type"] for r in self._tex_rows}
@@ -613,6 +619,7 @@ class SceneBuilder:
             mat_present=mat_present,
             tex_present=tex_present,
             vol_slots_static=tuple(slot_arr),
+            emissives_unregistered=emissives_unregistered,
             block_aabbs=jnp.asarray(block_aabbs),
             sort_grid=sort_grid,
         )

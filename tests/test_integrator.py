@@ -240,6 +240,61 @@ def test_light_row_index_exact():
     assert (rows[~emissive] == -1).all()
 
 
+def test_mis_unbiased_unregistered_emissive_single_light():
+    """One REGISTERED light plus an emissive rect never passed to
+    add_light: NEE can't sample the unregistered emitter, so BSDF hits on
+    it must carry FULL weight (pdf 0 on the NEE side).  The former L==1
+    closed form attributed every emissive hit to light row 0 and
+    down-weighted the unregistered emitter — biased-dark.  Exactness check
+    vs brute-force BSDF-only tracing."""
+    import dataclasses
+
+    def build():
+        b = SceneBuilder()
+        grey = b.lambertian(b.constant_texture((0.7, 0.7, 0.7)))
+        b.rect(-8, 8, -8, 8, 0.0, False, S.AXIS_Y, grey)      # floor
+        # registered light: small, off to the side
+        em_r = b.diffuse_light(b.constant_texture((1.0, 1.0, 1.0)))
+        b.rect(5.0, 6.0, 5.0, 6.0, 3.0, True, S.AXIS_Y, em_r)
+        b.add_light(position=(5.0, 3.0, 5.0), vec_u=(1.0, 0.0, 0.0),
+                    vec_v=(0.0, 0.0, 1.0), emission=(1.0, 1.0, 1.0))
+        # UNREGISTERED emitter: big ceiling panel right above the view
+        em_u = b.diffuse_light(b.constant_texture((1.0, 1.0, 1.0)))
+        b.rect(-4.0, 4.0, -4.0, 4.0, 1.5, True, S.AXIS_Y, em_u)
+        b.set_camera((0, 0.5, 0), (0, 0.0, 0), (1, 0, 0), 60, 1.0, 0.0, 0.5)
+        return b.build()
+
+    scene = build()
+    assert scene.num_lights == 1 and scene.emissives_unregistered
+    mis_cfg = rt.RenderConfig(nx=24, ny=24, spp=400, max_depth=6, seed=31)
+    mis = _render_mean(scene, mis_cfg).mean()
+
+    bsdf_scene = dataclasses.replace(scene, num_lights=0)
+    bsdf_cfg = rt.RenderConfig(nx=24, ny=24, spp=3000, max_depth=6, seed=32)
+    bsdf = _render_mean(bsdf_scene, bsdf_cfg).mean()
+    assert abs(mis - bsdf) / bsdf < 0.03, (mis, bsdf)
+
+
+def test_light_row_containment_tiling():
+    """A light realized by TWO rect prims tiling it: both map to the row
+    (containment matching), so BSDF-side MIS stays exact."""
+    b = SceneBuilder()
+    grey = b.lambertian(b.constant_texture((0.7, 0.7, 0.7)))
+    b.rect(-8, 8, -8, 8, 0.0, False, S.AXIS_Y, grey)
+    em = b.diffuse_light(b.constant_texture((1.0, 1.0, 1.0)))
+    b.rect(-4.0, 0.0, -4.0, 4.0, 1.5, True, S.AXIS_Y, em)   # left half
+    b.rect(0.0, 4.0, -4.0, 4.0, 1.5, True, S.AXIS_Y, em)    # right half
+    b.add_light(position=(-4.0, 1.5, -4.0), vec_u=(8.0, 0.0, 0.0),
+                vec_v=(0.0, 0.0, 8.0), emission=(1.0, 1.0, 1.0))
+    b.set_camera((0, 0.5, 0), (0, 0.0, 0), (1, 0, 0), 60, 1.0, 0.0, 0.5)
+    scene = b.build()
+    rows = np.asarray(scene.prims.light_row_p)
+    types = np.asarray(scene.prims.mat_type_p)
+    emissive = types == S.MAT_DIFFUSE_LIGHT
+    assert (rows[emissive] == 0).all() and emissive.sum() == 2
+    assert not scene.emissives_unregistered
+
+
 def test_mis_unbiased_coplanar_adjacent_lights():
     """Two coplanar lights sharing an edge — the arrangement the former
     geometric membership test (plane + parallelogram-coords tolerances) could
