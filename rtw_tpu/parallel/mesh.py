@@ -31,6 +31,7 @@ global mesh spanning all hosts' devices.
 from __future__ import annotations
 
 import math
+import sys as _sys
 import time as _time
 
 import numpy as np
@@ -151,7 +152,7 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
                 acc = _put_sharded(per, mesh, P("data"))
                 if verbose:
                     print(f"INFO: resumed at {spp_done}/{cfg.spp} spp",
-                          flush=True)
+                          file=_sys.stderr, flush=True)
 
         t_start = _time.perf_counter()
         s0 = spp_done
@@ -163,7 +164,8 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
             s0 += ns
             if verbose:
                 jax.block_until_ready(acc)
-                print(f"INFO: {s0}/{cfg.spp} spp done", flush=True)
+                print(f"INFO: {s0}/{cfg.spp} spp done", file=_sys.stderr,
+                      flush=True)
             if checkpoint_path is not None and (
                     s0 >= cfg.spp or checkpoint_every <= 0
                     or s0 - last_ckpt >= checkpoint_every):
@@ -230,7 +232,7 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
                 acc = jnp.asarray(acc_np)
                 if verbose:
                     print(f"INFO: resumed at {done}/{local_spp} "
-                          "spp-per-device", flush=True)
+                          "spp-per-device", file=_sys.stderr, flush=True)
 
         t_start = _time.perf_counter()
         s0 = done
@@ -242,7 +244,8 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
             s0 += ns
             if verbose:
                 jax.block_until_ready(acc)
-                print(f"INFO: {s0 * ndev}/{cfg.spp} spp done", flush=True)
+                print(f"INFO: {s0 * ndev}/{cfg.spp} spp done",
+                      file=_sys.stderr, flush=True)
             if checkpoint_path is not None and (
                     s0 >= local_spp or checkpoint_every <= 0
                     or (s0 - last_ckpt) * ndev >= checkpoint_every):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import math
+import sys as _sys
 import time as _time
 
 import numpy as np
@@ -104,7 +105,10 @@ def render(scene, cfg, key=None, verbose: bool = False,
             accums[0] = (accums[0][0], jnp.asarray(rays0, jnp.float32),
                          stats0)
             if verbose:
-                print(f"INFO: resumed at {spp_done}/{cfg.spp} spp", flush=True)
+                # stderr: stdout is the image sink (printPPM convention,
+                # Director.cpp:1010-1031 — logs go to stderr)
+                print(f"INFO: resumed at {spp_done}/{cfg.spp} spp",
+                      file=_sys.stderr, flush=True)
 
     t_start = _time.perf_counter()
     s0 = spp_done
@@ -118,7 +122,8 @@ def render(scene, cfg, key=None, verbose: bool = False,
         s0 += ns
         if verbose:
             jax.block_until_ready(accums[-1][0])
-            print(f"INFO: {s0}/{cfg.spp} spp done", flush=True)
+            print(f"INFO: {s0}/{cfg.spp} spp done", file=_sys.stderr,
+                  flush=True)
         # checkpoint whenever >= checkpoint_every samples accumulated since
         # the last save (not an exact-multiple test: spp chunks need not
         # divide checkpoint_every), and always at the end
