@@ -9,9 +9,10 @@ recorded first-round figure below; 1.0 = parity with round 1's first build.
 
 Rays counted = every traversal query actually issued (camera + bounce +
 NEE shadow rays), the same accounting OptiX applications use.  Wall time
-excludes compilation (the warm-up run compiles the identical per-chunk step
-graph: 800x800 resolves to 50-spp chunks, so a 50-spp warm-up covers every
-chunk shape of the 1000-spp run) and includes device sync.
+excludes compilation (the warm-up run is a full render with the IDENTICAL
+config, so every per-chunk step graph — 800x800 auto-resolves to 400-spp
+chunks under the 256M-path target — is compiled before timing) and
+includes device sync.
 """
 
 import json

@@ -47,18 +47,21 @@ from rtw_tpu.utils import rng as R
 
 def _pallas_backend(cfg, scene) -> bool:
     """Static choice of trace backend.  'auto' uses the Pallas kernels on
-    TPU for non-differentiable renders of scenes with enough primitives
-    that the plain-XLA sweep's [C, N] HBM round-trips dominate (measured
-    crossover ~10^2 prims; tiny scenes fuse fine in XLA and skip the
-    kernel's fixed padding/launch overhead).  The pure-JAX sweep is the
-    reference implementation everywhere else (it also carries the VJP)."""
+    TPU for scenes with enough primitives that the plain-XLA sweep's [C, N]
+    HBM round-trips dominate (measured crossover ~10^2 prims; tiny scenes
+    fuse fine in XLA and skip the kernel's fixed padding/launch overhead).
+    The pure-JAX sweep is the reference implementation everywhere else.
+
+    Differentiable renders ride the SAME kernels: the kernel runs the
+    forward trace under stop_gradient (winner identity is a detached
+    decision either way) and ops/intersect.reeval_hit recomputes the
+    winner's payload differentiably — see bounce_step."""
     if cfg.backend == "pallas":
         return True
     if cfg.backend == "jnp":
         return False
     n_prims = sum(e[1] for e in scene.chunk_plan)
-    return ((not cfg.differentiable) and n_prims >= 128
-            and jax.default_backend() == "tpu")
+    return n_prims >= 128 and jax.default_backend() == "tpu"
 
 
 class PathState(NamedTuple):
@@ -174,17 +177,22 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     tmax_lane = jnp.where(state.alive, np.float32(cfg.t_max),
                           np.float32(-BIG))
     use_pallas = _pallas_backend(cfg, scene)
-    # fused trace+NEE kernel: one launch per bounce instead of trace +
-    # occlusion (single-light scenes; lambertian is the only NEE emitter)
-    use_fused = (use_pallas and cfg.fuse_nee and scene.num_lights == 1
-                 and scene.mat_present[S.MAT_LAMBERTIAN])
-    shadowed_fused = None
-    if use_fused:
-        from rtw_tpu.ops.trace_kernel import trace_nee_pallas
+    if use_pallas and cfg.differentiable:
+        # Fast gradient path: the kernel picks the winner (a detached,
+        # piecewise-constant decision — every input is stop_gradient so the
+        # pallas_call sees zero tangents and is never differentiated), then
+        # reeval_hit recomputes ONLY the winner's t/payload differentiably
+        # and gather_shade routes texture-color gradients.  Same estimator,
+        # same VJP structure as the pure-JAX sweep, at kernel speed.
+        from rtw_tpu.ops.trace_kernel import trace_pallas
+        from rtw_tpu.ops.intersect import reeval_hit
 
-        hit, shade, shadowed_fused = trace_nee_pallas(
-            scene, o, d, cfg.t_min, tmax_lane, state.time, vol_u, occ_u,
-            U[R.U_LIGHT_A], U[R.U_LIGHT_B], cfg.shadow_eps)
+        sg = lax.stop_gradient
+        k_hit, _ = trace_pallas(sg(scene), sg(o), sg(d), cfg.t_min,
+                                sg(tmax_lane), sg(state.time), sg(vol_u))
+        hit = reeval_hit(scene, k_hit.prim_idx, o, d, cfg.t_min, cfg.t_max,
+                         state.time, vol_u, t_hint=k_hit.t)
+        shade = gather_shade(scene, hit.prim_idx, hit.prim_idx >= 0)
     elif use_pallas:
         from rtw_tpu.ops.trace_kernel import trace_pallas
 
@@ -215,8 +223,7 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     mp = scene.mat_present
     mat_type = shade.mat_type
     albedo = resolve_albedo(scene, shade, hit.point, hit.u, hit.v,
-                            cfg.tex_filter,
-                            compact=not cfg.differentiable)
+                            cfg.tex_filter)
     nrm = hit.normal
     n = hit.t.shape[0]
     false_n = jnp.zeros((n,), bool)
@@ -359,14 +366,23 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
         # tiles resolve at slab-test cost (their verdict is masked out below)
         occ_tmax = jnp.where(nee_active, ldist * np.float32(0.999),
                              np.float32(-BIG))
-        if shadowed_fused is not None:
-            shadowed = shadowed_fused
-        elif use_pallas:
+        if use_pallas:
             from rtw_tpu.ops.trace_kernel import occluded_pallas
 
-            shadowed = occluded_pallas(scene, shadow_org, ldir_u,
-                                       cfg.shadow_eps, occ_tmax,
-                                       state.time, occ_u)
+            if cfg.differentiable:
+                # visibility is a detached boolean (it carries no gradient
+                # in the detached-sampling estimator, diff.py docstring);
+                # stop_gradient on every input keeps the pallas_call out of
+                # the differentiated graph entirely
+                sg2 = lax.stop_gradient
+                shadowed = occluded_pallas(sg2(scene), sg2(shadow_org),
+                                           sg2(ldir_u), cfg.shadow_eps,
+                                           sg2(occ_tmax), sg2(state.time),
+                                           sg2(occ_u))
+            else:
+                shadowed = occluded_pallas(scene, shadow_org, ldir_u,
+                                           cfg.shadow_eps, occ_tmax,
+                                           state.time, occ_u)
         else:
             shadowed = occluded(scene, shadow_org, ldir_u, cfg.shadow_eps,
                                 occ_tmax, state.time, occ_u)
@@ -537,10 +553,27 @@ def _mega_backend(cfg, scene) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def _tpu_kernel_env() -> bool:
+    """Real TPU backend present, or Pallas TPU interpret mode active (the
+    test harness's CPU simulation of the kernels)."""
+    if jax.default_backend() == "tpu":
+        return True
+    try:
+        from jax._src import config as _jcfg
+        return (_jcfg.pallas_tpu_interpret_mode_context_manager.value
+                is not None)
+    except Exception:  # pragma: no cover - private-API drift
+        return False
+
+
 def _validate_mega(cfg, scene):
     """Forced backend="mega" must fail loudly outside the kernel's feature
     envelope instead of rendering wrong."""
     problems = []
+    if not _tpu_kernel_env():
+        problems.append(f"backend is {jax.default_backend()!r} (the "
+                        "megakernel needs a TPU, or Pallas TPU interpret "
+                        "mode for tests)")
     if cfg.differentiable:
         problems.append("differentiable=True (no in-kernel VJP)")
     if cfg.bounce_stats:
@@ -559,75 +592,6 @@ def _validate_mega(cfg, scene):
     if problems:
         raise ValueError("backend='mega' unsupported for this render: "
                          + "; ".join(problems))
-
-
-def _resolved_sort_every(cfg, scene) -> int:
-    """Static resolution of cfg.sort_every (-1 = auto; see config.py)."""
-    if cfg.sort_every >= 0:
-        return cfg.sort_every
-    return 0
-
-
-def _coherence_key(scene: S.Scene, path: PathState, item_pos):
-    """[N] int32 wavefront sort key, most-significant first:
-    [origin-cell Morton (8^3 grid, 9 b) | direction octant (3 b) |
-     image-tile id (16 b)]; dead lanes key to INT32_MAX so they pack to the
-    tail (subsuming the alive-first partition).
-
-    Rays sharing (cell, octant) start in the same core-scene cell heading
-    the same way — a tile of them agrees on which primitive blocks are
-    near/far, which is what the per-tile front-to-back traversal needs to
-    fire its best-t cut (the software analog of SER coherence sorting,
-    raygen.cu:55-58 optixReorder).  Two non-obvious ingredients, both
-    measured necessary (a plain scene-AABB cell/octant key was 3.5x SLOWER
-    than no sort on TNW):
-
-    - The grid covers the build-time percentile-clipped CORE bounds
-      (Scene.sort_grid), not the scene AABB — TNW's radius-5000 mist sphere
-      would otherwise put every interesting primitive in one cell.
-    - The image-tile id (item_pos >> 10 = the lane's 1024-lane tile under
-      render.tile_permutation) tiebreaks equal (cell, octant) runs: camera
-      rays (all one cell, 1-2 octants at 20-40 deg fov) regroup into the
-      32x32-pixel frusta the unsorted scheduler gets for free, instead of
-      being shuffled image-wide by whatever order earlier sorts left."""
-    o, d = path.origin, path.direction
-    if scene.sort_grid:
-        g = scene.sort_grid
-        lo = [np.float32(g[ax]) for ax in range(3)]
-        scl = [np.float32(8.0 / g[3 + ax]) for ax in range(3)]
-    else:
-        # documented fallback for Scenes built without SceneBuilder: derive
-        # bounds from the finite block AABBs (no percentile clipping)
-        ab = scene.block_aabbs
-        finite = (ab[:, 3] >= ab[:, 0])[:, None]
-        glo = jnp.min(jnp.where(finite, ab[:, 0:3], np.float32(BIG)), axis=0)
-        ghi = jnp.max(jnp.where(finite, ab[:, 3:6], np.float32(-BIG)),
-                      axis=0)
-        ext = jnp.maximum(ghi - glo, 1e-6)
-        lo = [glo[ax] for ax in range(3)]
-        scl = [8.0 / ext[ax] for ax in range(3)]
-
-    def q3(c, ax):
-        cell = jnp.clip((c - lo[ax]) * scl[ax], 0.0, 7.0)
-        return cell.astype(jnp.int32)
-
-    def spread3(x):  # 3 bits -> every 3rd position
-        return (x & 1) | ((x & 2) << 2) | ((x & 4) << 4)
-
-    morton = (spread3(q3(o.x, 0)) | (spread3(q3(o.y, 1)) << 1)
-              | (spread3(q3(o.z, 2)) << 2))
-    octant = ((d.x < 0).astype(jnp.int32) + 2 * (d.y < 0).astype(jnp.int32)
-              + 4 * (d.z < 0).astype(jnp.int32))
-    tile = jnp.minimum(item_pos >> 10, 65535)
-    key = (morton * 8 + octant) * 65536 + tile
-    return jnp.where(path.alive, key, np.int32(2**31 - 1))
-
-
-def _sort_perm(key):
-    """Stable permutation ordering lanes by `key` (iota tiebreak)."""
-    n = key.shape[0]
-    _, perm = lax.sort((key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-    return perm
 
 
 def _alive_first_perm(alive):
@@ -701,6 +665,13 @@ def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int,
     135 iterations at 17% mean occupancy vs ~45 at ~70% for the queue).
     """
     sched = cfg.scheduler
+    if cfg.backend == "mega" and sched not in ("auto", "mega"):
+        # the megakernel IS a scheduler (whole-bounce regen); a forced
+        # 'queue'/'regen' request contradicts it and was previously ignored
+        # silently (the kernel request fell through to the auto heuristic)
+        raise ValueError(
+            f"backend='mega' requires scheduler 'auto' or 'mega', got "
+            f"{cfg.scheduler!r}")
     if sched == "auto":
         # queue pays for itself when pixel-difficulty variance strands the
         # wavefront — the >=128-prim Pallas scenes.  Small scenes run the
@@ -919,7 +890,6 @@ class _QueueState(NamedTuple):
     rays: Any          # scalar f32
     cursor: Any        # scalar int32: next unclaimed item
     thresh: Any        # scalar int32: alive count at the last compaction
-    it: Any            # scalar int32: wavefront iteration counter
     stats: Any         # () or WavefrontStats
 
 
@@ -929,30 +899,6 @@ def _resolved_flush_denom(cfg) -> int:
 
 
 _FLUSH_DENOM = None   # experiment override; None = use cfg.flush_denom
-
-
-def _permute_queue(wf: _QueueState, perm) -> _QueueState:
-    """Lane permutation of the queue carry.  accum/cursor/rays stay put:
-    accum rows are addressed by the carried item_pos values."""
-    p = wf.path
-    path = PathState(
-        origin=Vec3(p.origin.x[perm], p.origin.y[perm], p.origin.z[perm]),
-        direction=Vec3(p.direction.x[perm], p.direction.y[perm],
-                       p.direction.z[perm]),
-        throughput=Vec3(p.throughput.x[perm], p.throughput.y[perm],
-                        p.throughput.z[perm]),
-        radiance=Vec3(p.radiance.x[perm], p.radiance.y[perm],
-                      p.radiance.z[perm]),
-        alive=p.alive[perm],
-        time=p.time[perm],
-        prev_pdf=p.prev_pdf[perm],
-        prev_diffuse=p.prev_diffuse[perm],
-        ray_count=p.ray_count,
-    )
-    return wf._replace(path=path, path_keys=wf.path_keys[perm],
-                       depth=wf.depth[perm], item_pos=wf.item_pos[perm],
-                       sample=wf.sample[perm], pixel=wf.pixel[perm],
-                       pending=wf.pending[perm])
 
 
 def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
@@ -986,7 +932,6 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
 
     Returns (accum Vec3 [N] positional sums, rays, stats)."""
     n = pixel_idx.shape[0]
-    sort_every = _resolved_sort_every(cfg, scene)
     n_items = n * n_samples
     s_init = jnp.full((n,), s0, jnp.int32)
     path_keys = R.make_path_keys(key, pixel_idx, s_init, cfg.rng)
@@ -1004,7 +949,6 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         rays=jnp.zeros((), jnp.float32),
         cursor=jnp.asarray(n, jnp.int32),
         thresh=jnp.asarray(n, jnp.int32),
-        it=jnp.asarray(0, jnp.int32),
         stats=_stats_zero(cfg.max_depth) if cfg.bounce_stats else (),
     )
 
@@ -1067,7 +1011,7 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
 
         nwf = wf._replace(
             path=st._replace(alive=running), depth=depth,
-            pending=pending, rays=st.ray_count, it=wf.it + 1, stats=stats,
+            pending=pending, rays=st.ray_count, stats=stats,
         )
 
         # Flush policy (cfg.flush_denom, re-measured round 3 after the
@@ -1087,20 +1031,14 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
                                              & (n_pend > 0))
             nwf = lax.cond(do_flush, flush, lambda w: w, nwf)
 
-        # coherence sort (cfg.sort_every): regroup scattered bounce rays into
-        # spatially coherent tiles; dead lanes key to the tail, so this also
-        # subsumes the drain-tail compaction below
-        if sort_every == 1:
-            return _permute_queue(nwf, _sort_perm(_coherence_key(
-                scene, nwf.path, nwf.item_pos)))
-        if sort_every > 1:
-            def sortw(w):
-                return _permute_queue(w, _sort_perm(_coherence_key(
-                    scene, w.path, w.item_pos)))
-
-            return lax.cond(nwf.it % sort_every == 0, sortw,
-                            lambda w: w, nwf)
-
+        # NO SER-style coherence sort here: three key designs (origin-cell
+        # Morton + direction octant + image-tile tiebreak) all measured a
+        # large net LOSS (TNW 6.2 -> 1.7 Mrays/s) because applying the
+        # permutation to the ~20-plane carry costs ~74 ms/iter against a
+        # 0.05 ms sort — see docs/QUIRKS.md "SER-style lane sorting".  Any
+        # future reordering must avoid permuting the carry (e.g. reorder
+        # only inside the kernel's VMEM tile).
+        #
         # NO drain-tail compaction here (unlike trace_wavefront_regen): the
         # queue's tail is one path length, and a single compaction permutes
         # ~20 carry planes at ~2.4 ms per [320k] gather = ~48 ms — profiled

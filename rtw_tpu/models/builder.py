@@ -122,11 +122,18 @@ def _match_lights_to_prims(prims: list["_Prim"], mat_type: list[int],
     scenes deliberately offset the light geometry off the sampled plane
     (Cornell: rect prim at k=554.9, LightDefinition at y=554,
     ioScene.h:534/605-612 — SURVEY §7.4 quirk 15).  A prim only PARTLY
-    overlapping a light (hanging outside it) stays -1: its row would be
-    wrong for hits outside the light; such arrangements need per-hit
-    attribution nothing in the reference requires."""
+    overlapping a light (hanging outside it) is REJECTED at build time: a
+    light_row for it would mis-weight hits outside the light, while -1
+    would double-count hits inside (NEE samples the area, then the BSDF
+    sample takes full weight) — correctness needs a per-hit containment
+    test nothing in the reference requires, so the build fails loudly
+    instead of silently biasing either way.  A registered light that no
+    prim realizes gets the same treatment: NEE then illuminates from
+    geometry that cannot occlude/emit consistently, and a tolerance
+    failure in this matcher would otherwise be invisible."""
     rows = []
-    for p in prims:
+    matched = [0] * len(lights)
+    for pi, p in enumerate(prims):
         row = -1
         if mat_type[p.material] == S.MAT_DIFFUSE_LIGHT:
             corners = _rect_corners_world(p)
@@ -147,11 +154,42 @@ def _match_lights_to_prims(prims: list["_Prim"], mat_type: list[int],
                     rv = rel @ v
                     a = (ru * vv_ - rv * uv) / det
                     bb = (rv * uu - ru * uv) / det
-                    if (a > -1e-3).all() and (a < 1 + 1e-3).all() \
-                            and (bb > -1e-3).all() and (bb < 1 + 1e-3).all():
+                    inside = ((a > -1e-3) & (a < 1 + 1e-3)
+                              & (bb > -1e-3) & (bb < 1 + 1e-3))
+                    if inside.all():
                         row = li
+                        matched[li] += 1
                         break
+                    # coplanar but straddling the light's boundary: no
+                    # light_row assignment is unbiased (see docstring).
+                    # INTERIOR overlap only — an adjacent prim (realizing a
+                    # different coplanar light) legitimately touches this
+                    # light's boundary.
+                    overlaps = ((a.min() < 1 - 1e-3) and (a.max() > 1e-3)
+                                and (bb.min() < 1 - 1e-3)
+                                and (bb.max() > 1e-3))
+                    if overlaps:
+                        raise ValueError(
+                            f"emissive prim {pi} partially overlaps "
+                            f"registered light {li} (in-plane coords a="
+                            f"[{a.min():.4f},{a.max():.4f}] b="
+                            f"[{bb.min():.4f},{bb.max():.4f}] vs the unit "
+                            "square): no light_row assignment gives an "
+                            "unbiased MIS weight for such an arrangement. "
+                            "Align the prim with the light, or register "
+                            "the prim's own rectangle as the light.")
         rows.append(row)
+    for li, l in enumerate(lights):
+        if matched[li] == 0:
+            import warnings
+
+            warnings.warn(
+                f"registered light {li} (position {l['position']}) matched "
+                "no emissive primitive — NEE will sample it but BSDF-side "
+                "hits cannot identify it, overcounting its contribution. "
+                "Check the light geometry against its emissive prim "
+                "(normal offset tolerance is 2% of sqrt(area)).",
+                stacklevel=3)
     return rows
 
 
@@ -583,19 +621,6 @@ class SceneBuilder:
             lights = S.Lights(position=z3, vec_u=z3, vec_v=z3, emission=z3,
                               area=jnp.ones((1,), jnp.float32), normal=z3)
 
-        # coherence-sort grid: percentile-clipped bounds of the REAL prim
-        # centers, so a single huge boundary primitive (TNW's radius-5000
-        # mist sphere, IOW's radius-1000 ground) can't stretch the grid until
-        # every interesting primitive shares one cell.  all_lo/all_hi were
-        # computed above for the Morton ordering — reuse them.
-        centers = (all_lo + all_hi) * 0.5
-        g_lo = np.percentile(centers, 5.0, axis=0)
-        g_hi = np.percentile(centers, 95.0, axis=0)
-        g_ext = np.maximum(g_hi - g_lo, 1e-3)
-        g_lo, g_hi = g_lo - 0.05 * g_ext, g_hi + 0.05 * g_ext
-        sort_grid = tuple(float(x) for x in g_lo) + tuple(
-            float(x) for x in np.maximum(g_hi - g_lo, 1e-3))
-
         emissives_unregistered = bool(self._lights) and any(
             self._mat_type[p.material] == S.MAT_DIFFUSE_LIGHT
             and light_rows[i] < 0
@@ -621,6 +646,5 @@ class SceneBuilder:
             vol_slots_static=tuple(slot_arr),
             emissives_unregistered=emissives_unregistered,
             block_aabbs=jnp.asarray(block_aabbs),
-            sort_grid=sort_grid,
         )
         return scene

@@ -290,12 +290,6 @@ class Scene:
     # is row-0-only) is ineligible.  Every reference scene registers all
     # its emissives, so the fast paths stay on for them.
     emissives_unregistered: bool = False
-    # static coherence-sort grid (lox, loy, loz, extx, exty, extz): bounds of
-    # the scene's CORE geometry (percentile-clipped primitive centers, so one
-    # radius-5000 boundary sphere can't collapse the cell resolution) used by
-    # the wavefront coherence sort's origin-cell key (integrator
-    # ._coherence_key).  () = derive from block AABBs at trace time.
-    sort_grid: tuple = ()
 
 
 # n_vol / chunk_plan / num_lights / light_tex are static aux data (they shape
@@ -305,16 +299,14 @@ def _scene_flatten(s: Scene):
         (s.prims, s.materials, s.textures, s.lights, s.camera, s.sky_light,
          s.block_aabbs),
         (s.n_vol, s.chunk_plan, s.num_lights, s.light_tex, s.mat_present,
-         s.tex_present, s.vol_slots_static, s.emissives_unregistered,
-         s.sort_grid),
+         s.tex_present, s.vol_slots_static, s.emissives_unregistered),
     )
 
 
 def _scene_unflatten(aux, leaves):
     return Scene(*leaves, n_vol=aux[0], chunk_plan=aux[1], num_lights=aux[2],
                  light_tex=aux[3], mat_present=aux[4], tex_present=aux[5],
-                 vol_slots_static=aux[6], emissives_unregistered=aux[7],
-                 sort_grid=aux[8])
+                 vol_slots_static=aux[6], emissives_unregistered=aux[7])
 
 
 jax.tree_util.register_pytree_node(Scene, _scene_flatten, _scene_unflatten)

@@ -66,7 +66,13 @@ class Hit(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def _col(params, i):
-    """[C, 9] chunk param table -> [C, 1] broadcast column."""
+    """[C, 9] chunk param table -> [C, 1] broadcast column.
+
+    A list/tuple of per-ray [N] planes (the winner-reeval path, reeval_hit)
+    passes through elementwise instead: the same test math then runs [N]
+    against [N] — one primitive per ray."""
+    if isinstance(params, (list, tuple)):
+        return params[i]
     return params[:, i][:, None]
 
 
@@ -98,8 +104,9 @@ def moving_sphere_t(params, o, d, tmin, tmax, time):
     t0 = _col(params, 7)
     t1p = _col(params, 8)
     span = t1p - t0
+    tb = time if isinstance(params, (list, tuple)) else time[None, :]
     frac = jnp.where(span == 0.0, 0.0,
-                     (time[None, :] - t0) / jnp.where(span == 0.0, 1.0, span))
+                     (tb - t0) / jnp.where(span == 0.0, 1.0, span))
     center = c0 + (c1 - c0) * frac
     r1, r2, valid = _sphere_roots(o, d, center, _col(params, 3))
     t = jnp.where((r1 > tmin) & (r1 < tmax), r1,
@@ -413,6 +420,21 @@ def intersect_scene(scene, o: Vec3, d: Vec3, tmin, tmax, time, vol_u) -> Hit:
     # once ([N] planes), then one statically-typed payload computation per
     # group, selected by which group owns the winning prim.
     p9 = [prims.params[:, k][safe_prim] for k in range(S.NUM_PRIM_PARAMS)]
+    point, normal, uu, vv = _winner_payload(scene, safe_prim, hit_mask, p9,
+                                            o, d, t_pay, time, tmin)
+    mat_id = jnp.where(hit_mask, prims.material_id[safe_prim], 0)
+    return Hit(t=best_t, prim_idx=best_prim, mat_id=mat_id,
+               point=point, normal=normal, u=uu, v=vv)
+
+
+def _winner_payload(scene, safe_prim, hit_mask, p9, o: Vec3, d: Vec3, t_pay,
+                    time, tmin):
+    """Hit payload (point, normal, u, v) for per-ray winners `safe_prim`:
+    one statically-typed payload computation per chunk-plan group, selected
+    by which group owns each lane's winning prim.  Shared by
+    intersect_scene's pass 2 and reeval_hit."""
+    n = t_pay.shape[0]
+    prims = scene.prims
     any_xform = any(e[5] for e in scene.chunk_plan)
     if any_xform:
         w2o_g, o2w_g = _gather_xform(prims, safe_prim)
@@ -460,10 +482,91 @@ def intersect_scene(scene, o: Vec3, d: Vec3, tmin, tmax, time, vol_u) -> Hit:
         uu = jnp.where(in_group, g_u, uu)
         vv = jnp.where(in_group, g_v, vv)
 
-    normal = normal.normalized()
-    mat_id = jnp.where(hit_mask, prims.material_id[safe_prim], 0)
-    return Hit(t=best_t, prim_idx=best_prim, mat_id=mat_id,
-               point=point, normal=normal, u=uu, v=vv)
+    return point, normal.normalized(), uu, vv
+
+
+def reeval_hit(scene, prim_idx, o: Vec3, d: Vec3, tmin, tmax, time, vol_u,
+               t_hint=None) -> Hit:
+    """Differentiable hit record re-derived from a DETACHED winner.
+
+    The fast gradient path (integrator.bounce_step with cfg.differentiable
+    on the Pallas backend) obtains `prim_idx` from the non-differentiable
+    trace kernel under stop_gradient — legitimate because argmin winners are
+    piecewise-constant decisions, the same detached-sampling discipline
+    intersect_scene applies implicitly (jnp.min routes the cotangent to the
+    winner only).  This function then recomputes (t, point, normal, uv) for
+    JUST each ray's winning primitive in plain JAX: O(#groups) elementwise
+    work per ray instead of the O(P) sweep, with the identical VJP structure
+    (t differentiable through ray origin/direction and prim params; the
+    winner identity detached).
+
+    `t_hint`: the kernel's accepted t.  Used (detached) only where the
+    elementwise re-evaluation disagrees with the kernel's accept decision at
+    fp tolerance (e.g. a root within 1 ulp of the tmin/tmax window) so the
+    payload never sees a BIG t.
+
+    Reference capability: ONE hot path serving every workload — the
+    reference renders and (hypothetically) differentiates through the same
+    optixLaunch program (Director.cpp:982-984); here gradient renders ride
+    the same Pallas trace kernels as plain ones."""
+    n = o.x.shape[0]
+    prims = scene.prims
+    hit_mask = prim_idx >= 0
+    sp = jnp.maximum(prim_idx, 0)
+    p9 = [prims.params[:, k][sp] for k in range(S.NUM_PRIM_PARAMS)]
+
+    if scene.n_vol > 0:
+        slots = jnp.maximum(prims.vol_slot[sp], 0)
+        u_sel = jnp.take_along_axis(vol_u, slots[None, :], axis=0)[0]
+    else:
+        u_sel = jnp.zeros((n,), jnp.float32)
+
+    any_xform = any(e[5] for e in scene.chunk_plan)
+    if any_xform:
+        w2o_g, _ = _gather_xform(prims, sp)
+        o_t = Vec3(
+            w2o_g[0][0] * o.x + w2o_g[0][1] * o.y + w2o_g[0][2] * o.z + w2o_g[0][3],
+            w2o_g[1][0] * o.x + w2o_g[1][1] * o.y + w2o_g[1][2] * o.z + w2o_g[1][3],
+            w2o_g[2][0] * o.x + w2o_g[2][1] * o.y + w2o_g[2][2] * o.z + w2o_g[2][3],
+        )
+        d_t = Vec3(
+            w2o_g[0][0] * d.x + w2o_g[0][1] * d.y + w2o_g[0][2] * d.z,
+            w2o_g[1][0] * d.x + w2o_g[1][1] * d.y + w2o_g[1][2] * d.z,
+            w2o_g[2][0] * d.x + w2o_g[2][1] * d.y + w2o_g[2][2] * d.z,
+        )
+
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    t_re = jnp.zeros((n,), jnp.float32)
+    for entry in scene.chunk_plan:
+        start, count, size, ptype, axis, has_xform, _ = entry
+        in_group = hit_mask & (sp >= start) & (sp < start + size)
+        o_sel, d_sel = (o_t, d_t) if has_xform else (o, d)
+        if ptype == S.PRIM_SPHERE:
+            t_g = sphere_t(p9, o_sel, d_sel, tmin, tmax_b)
+        elif ptype == S.PRIM_MOVING_SPHERE:
+            t_g = moving_sphere_t(p9, o_sel, d_sel, tmin, tmax_b, time)
+        elif ptype == S.PRIM_RECT:
+            t_g = rect_t(p9, o_sel, d_sel, tmin, tmax_b, axis)
+        elif ptype == S.PRIM_BOX:
+            t_g = box_t(p9, o_sel, d_sel, tmin, tmax_b)
+        elif ptype == S.PRIM_VOLUME_SPHERE:
+            t_g = volume_sphere_t(p9, o_sel, d_sel, tmin, tmax_b, u_sel)
+        elif ptype == S.PRIM_VOLUME_BOX:
+            t_g = volume_box_t(p9, o_sel, d_sel, tmin, tmax_b, u_sel)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown prim type {ptype}")
+        t_re = jnp.where(in_group, t_g, t_re)
+
+    if t_hint is not None:
+        agree = t_re < BIG * 0.5
+        t_re = jnp.where(agree, t_re, jax.lax.stop_gradient(t_hint))
+    t_pay = jnp.where(hit_mask, t_re, 0.0)
+
+    point, normal, uu, vv = _winner_payload(scene, sp, hit_mask, p9,
+                                            o, d, t_pay, time, tmin)
+    mat_id = jnp.where(hit_mask, prims.material_id[sp], 0)
+    return Hit(t=jnp.where(hit_mask, t_re, BIG), prim_idx=prim_idx,
+               mat_id=mat_id, point=point, normal=normal, u=uu, v=vv)
 
 
 def occluded(scene, o: Vec3, d: Vec3, tmin, tmax, time, vol_u):

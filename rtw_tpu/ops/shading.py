@@ -65,8 +65,7 @@ def _procedural_eval(scene: S.Scene, tex_type, scale, image_id, p: Vec3,
 
 
 def resolve_albedo(scene: S.Scene, shade: ShadeRec, p: Vec3, u, v,
-                   tex_filter: str = "rgb565",
-                   compact: bool = False) -> Vec3:
+                   tex_filter: str = "rgb565") -> Vec3:
     """Final albedo from the shading record + procedural texture kinds.
 
     Static `scene.tex_present` flags keep unreachable texture code out of
@@ -80,9 +79,7 @@ def resolve_albedo(scene: S.Scene, shade: ShadeRec, p: Vec3, u, v,
     gathers/scatters at n/8 lanes plus the nonzero cumsum and two cond
     boundaries cost more than the full-width eval they replace, because
     TPU gather cost has a large per-lane constant (~11 cycles/lane) that
-    small batches do not amortize.  `compact` is accepted for API
-    stability and currently ignored."""
-    del compact
+    small batches do not amortize."""
     present = scene.tex_present
     albedo = shade.rgb
 

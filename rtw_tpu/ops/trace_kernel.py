@@ -42,7 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 from rtw_tpu.models import scene as S
 from rtw_tpu.ops import intersect as I
 from rtw_tpu.ops import vec as V
-from rtw_tpu.ops.sampling import offset_point
 from rtw_tpu.ops.vec import Vec3
 
 BIG = I.BIG
@@ -71,7 +70,8 @@ _MAT, _FUZZ, _ETA, _TEXT, _SCALE, _IMG = 9, 10, 11, 12, 13, 14
 _RGB = (15, 16, 17)
 _ODD = (18, 19, 20)
 _EVEN = (21, 22, 23)
-_KBASE = 24
+_MID = 24              # material row id (Materials table index)
+_KBASE = 25
 _W2O = _KBASE          # +12 when any_xform
 _O2W = _KBASE + 12
 
@@ -88,6 +88,7 @@ def build_props(scene: S.Scene, any_xform: bool):
     cols += [col[:, k][pr.tex_idx] for k in range(3)]
     cols += [col[:, k][pr.odd_idx] for k in range(3)]
     cols += [col[:, k][pr.even_idx] for k in range(3)]
+    cols += [pr.material_id.astype(jnp.float32)]
     if any_xform:
         cols += [pr.w2o[:, i, j] for i in range(3) for j in range(4)]
         cols += [pr.o2w[:, i, j] for i in range(3) for j in range(4)]
@@ -131,7 +132,7 @@ def _block_test(props_ref, vu_ref, vol_slots, entry, b0, o, d, tmin, tmax,
     """t-matrix [C, TILE] for one primitive block, read from VMEM refs.
 
     `vu_base`: row offset of this sweep's free-flight uniforms inside
-    vu_ref (the fused kernel packs main-ray and shadow-ray draws in one
+    vu_ref (the megakernel packs main-ray and shadow-ray draws in one
     lanes array)."""
     start, count, size, ptype, axis, has_xform, block = entry
     C = min(block, start + size - b0)
@@ -482,7 +483,8 @@ def _write_hit(of_ref, oi_ref, best_t, best_i, best_props, point, normal,
     i32_rows = [best_i,
                 best_props[_MAT].astype(jnp.int32),
                 best_props[_TEXT].astype(jnp.int32),
-                best_props[_IMG].astype(jnp.int32)]
+                best_props[_IMG].astype(jnp.int32),
+                best_props[_MID].astype(jnp.int32)]
     oi_ref[:, :] = jnp.stack(i32_rows, axis=0)
 
 
@@ -501,7 +503,7 @@ def _kernel_body(chunk_plan, vol_slots, any_xform, n_vol, tmin,
 
 
 _NF32 = 21
-_NI32 = 4
+_NI32 = 5
 
 
 def _plan_key(scene: S.Scene):
@@ -585,7 +587,7 @@ def _unpack_hit(f32, i32, n):
     prim = i32[0]
     hit_mask = prim >= 0
     hit = I.Hit(t=f32[0], prim_idx=prim,
-                mat_id=jnp.where(hit_mask, 0, 0),
+                mat_id=jnp.where(hit_mask, i32[4], 0),
                 point=Vec3(f32[1], f32[2], f32[3]),
                 normal=Vec3(f32[4], f32[5], f32[6]),
                 u=f32[7], v=f32[8])
@@ -699,139 +701,3 @@ def occluded_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time,
                          scene.n_vol, float(tmin), any_xform, n_pad // TILE)
     occ = run(rays, vu, props, scene.block_aabbs)
     return occ[0, :n] > 0.5
-
-
-# ---------------------------------------------------------------------------
-# Fused trace + NEE shadow kernel: one launch per bounce instead of two.
-#
-# The nearest-hit sweep and the NEE occlusion sweep share the primitive
-# table, the block AABBs and the ray staging; fusing them keeps the hit
-# point/normal in VMEM registers between the two sweeps (the split path
-# round-trips them through HBM and pays a second kernel launch + props
-# copy).  Only valid for scenes with exactly one parallelogram light whose
-# NEE shadow rays originate at lambertian hits — every reference scene with
-# lights (shaders/closehit.cu:70-118 does the same two traversals per
-# non-specular hit, just hardware-scheduled).
-# ---------------------------------------------------------------------------
-
-def _fused_body(chunk_plan, vol_slots, any_xform, n_vol, tmin, shadow_eps,
-                lanes_ref, props_ref, aabb_ref, lp_ref,
-                of_ref, oi_ref, bt_ref, bi_ref, bp_ref, occ_ref, nm_ref):
-    nv = max(n_vol, 1)
-    o = Vec3(lanes_ref[0, :], lanes_ref[1, :], lanes_ref[2, :])
-    d = Vec3(lanes_ref[3, :], lanes_ref[4, :], lanes_ref[5, :])
-    time = lanes_ref[6, :]
-    tmax = lanes_ref[7, :]
-    la = lanes_ref[8, :]
-    lb = lanes_ref[9, :]
-
-    res = _nearest_hit(chunk_plan, vol_slots, any_xform, tmin, o, d, time,
-                       tmax, lanes_ref, _LANES_FIXED, props_ref, aabb_ref,
-                       bt_ref, bi_ref, bp_ref, nm_ref)
-    best_t, best_i, best_props, point, normal, uu, vv = res
-
-    # Light sample + shadow ray, replicating the integrator's NEE
-    # construction (integrator.bounce_step) op-for-op on the same values so
-    # the occlusion verdict corresponds to exactly the ray the outer MIS
-    # math assumes (rectPdf.cu:124-193 sampling; closehit.cu:97-101 probe).
-    lpos = Vec3(lp_ref[0, 0] + lp_ref[0, 3] * la + lp_ref[0, 6] * lb,
-                lp_ref[0, 1] + lp_ref[0, 4] * la + lp_ref[0, 7] * lb,
-                lp_ref[0, 2] + lp_ref[0, 5] * la + lp_ref[0, 8] * lb)
-    ldir = lpos - point
-    ldist = ldir.length()
-    ldir_u = ldir * (1.0 / jnp.maximum(ldist, 1e-12))
-    shadow_org = offset_point(point, normal, ldir_u)
-    tmax_sh = ldist * np.float32(0.999)
-
-    want = (best_i >= 0) & (best_props[_MAT] == np.float32(S.MAT_LAMBERTIAN))
-    _occl_sweep(chunk_plan, vol_slots, shadow_eps, shadow_org, ldir_u, time,
-                tmax_sh, lanes_ref, _LANES_FIXED + nv, props_ref, aabb_ref,
-                occ_ref, nm_ref, want=want)
-
-    shadowed = jnp.where(want, occ_ref[0, :], 0.0)
-    _write_hit(of_ref, oi_ref, *res, extra_f32=(shadowed,))
-
-
-_LANES_FIXED = 10    # o(3) d(3) time tmax light_a light_b
-
-
-@functools.lru_cache(maxsize=64)
-def _make_fused(chunk_plan, vol_slots, n_vol, tmin, shadow_eps, any_xform,
-                n_tiles, kdim):
-    nv = max(n_vol, 1)
-    rows = _LANES_FIXED + 2 * nv
-    kern = functools.partial(_fused_body, chunk_plan, vol_slots, any_xform,
-                             n_vol, tmin, shadow_eps)
-    grid_spec = pl.GridSpec(
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((rows, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # props, whole table
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # block AABBs
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # light constants [1,16]
-        ],
-        out_specs=(
-            pl.BlockSpec((_NF32 + 1, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_NI32, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, TILE), jnp.float32),     # best t
-            pltpu.VMEM((1, TILE), jnp.int32),       # best prim
-            pltpu.VMEM((kdim, TILE), jnp.float32),  # best props
-            pltpu.VMEM((1, TILE), jnp.float32),     # occluded
-            pltpu.VMEM((_max_dyn_blocks(chunk_plan), TILE),
-                       jnp.float32),                # block near matrix
-        ],
-    )
-
-    def run(lanes, props, aabbs, lparams):
-        n = lanes.shape[1]
-        return pl.pallas_call(
-            kern,
-            grid_spec=grid_spec,
-            out_shape=(jax.ShapeDtypeStruct((_NF32 + 1, n), jnp.float32),
-                       jax.ShapeDtypeStruct((_NI32, n), jnp.int32)),
-        )(lanes, props, aabbs, lparams)
-
-    return run
-
-
-def trace_nee_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time,
-                     vol_u, occ_u, light_a, light_b, shadow_eps):
-    """Fused nearest-hit + NEE shadow sweep (single-light scenes).
-
-    Same contract as trace_pallas plus a `shadowed` bool plane: whether the
-    shadow ray from each lambertian hit toward the light point sampled by
-    (light_a, light_b) on light row 0 is occluded.  Lanes that miss or hit
-    non-lambertian materials return shadowed=False (the integrator masks
-    them out of the NEE sum anyway)."""
-    if scene.num_lights != 1:
-        raise ValueError(
-            "trace_nee_pallas samples light row 0 only and is valid solely "
-            f"for single-light scenes (num_lights={scene.num_lights}); use "
-            "trace_pallas + occluded_pallas for multi-light scenes")
-    n = o.x.shape[0]
-    n_pad = -(-n // TILE) * TILE
-    any_xform = any(e[5] for e in scene.chunk_plan)
-    tmax_p = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
-    lanes = jnp.concatenate([
-        jnp.stack([o.x, o.y, o.z, d.x, d.y, d.z, time, tmax_p,
-                   light_a, light_b], axis=0),
-        vol_u, occ_u], axis=0)
-    lanes = _pad_tile(lanes, n_pad)
-    props = build_props(scene, any_xform)
-    lt = scene.lights
-    lparams = jnp.concatenate(
-        [lt.position[0], lt.vec_u[0], lt.vec_v[0],
-         jnp.zeros((7,), jnp.float32)]).astype(jnp.float32)[None, :]
-
-    run = _make_fused(scene.chunk_plan, scene.vol_slots_static, scene.n_vol,
-                      float(tmin), float(shadow_eps), any_xform,
-                      n_pad // TILE, props.shape[1])
-    f32, i32 = run(lanes, props, scene.block_aabbs, lparams)
-    hit, shade = _unpack_hit(f32, i32, n)
-    shadowed = f32[_NF32, :n] > 0.5
-    return hit, shade, shadowed

@@ -29,7 +29,7 @@ def _fingerprint(cfg) -> str:
 def save(path: str, cfg, accum: np.ndarray, rays: float, spp_done: int) -> None:
     tmp = path + ".tmp"
     np.savez_compressed(
-        tmp if tmp.endswith(".npz") else tmp,
+        tmp,
         accum=np.asarray(accum),
         rays=np.float64(rays),
         spp_done=np.int64(spp_done),

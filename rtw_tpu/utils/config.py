@@ -43,20 +43,14 @@ class RenderConfig:
     ray_batch: int = 0
     # Samples per jitted accumulation step (python loop iterates spp/spp_chunk).
     spp_chunk: int = 0            # 0 = auto
-    # Intersection prim-chunk size (prims tested per vectorized block).
-    prim_chunk: int = 128
 
     # Trace backend --------------------------------------------------------
-    # "auto": Pallas kernels on TPU for non-differentiable renders
+    # "auto": Pallas kernels on TPU for >=128-prim scenes
     #         (ops/trace_kernel.py), pure-JAX sweep elsewhere.
     # "pallas" / "jnp": force one (pallas requires TPU or interpret mode).
+    # "mega": force the whole-bounce megakernel (ops/mega_kernel.py;
+    #         validates its feature envelope loudly).
     backend: str = "auto"
-    # Fuse the NEE occlusion sweep into the trace kernel (one launch per
-    # bounce; single-light pallas scenes only).  Measured A/B on one chip
-    # (800x400, depth 20): scene 2 +2% (7.05 vs 6.92 Mrays/s), scene 4 -8%
-    # (2.27 vs 2.46) — the bigger unrolled kernel body scheds worse than
-    # two launches at 4k prims, so the split path stays the default.
-    fuse_nee: bool = False
 
     # Image-texture filtering ----------------------------------------------
     # "rgb565": bilinear from the RGB565 pair atlas — 2 flat gathers per
@@ -81,21 +75,6 @@ class RenderConfig:
     #          regen on the pure-XLA path, whose fully-fused bounce the
     #          queue's flush cond would split (measured 2.6x on Cornell).
     scheduler: str = "auto"
-
-    # Bounce-wavefront coherence sort ---------------------------------------
-    # Every k wavefront iterations the work-queue scheduler re-sorts lanes by
-    # a spatial key (origin-cell Morton code + direction octant, dead lanes
-    # last) so the trace kernels' 1024-lane ray tiles stay frustum-coherent
-    # after bounces scatter them — the per-tile front-to-back traversal's
-    # best-t cut and AABB culls only fire when a tile's rays agree
-    # (ops/trace_kernel._dyn_nearest).  This is the software replacement for
-    # SER's coherence reordering (optixReorder, raygen.cu:55-58).
-    # 0 = off; k >= 1 = sort every k iterations (1 = every iteration,
-    # unconditional — cheaper than a lax.cond boundary for k <= ~2).
-    # -1 = auto: currently off everywhere (flips to the queue path once the
-    # on-chip A/B proves it; a first scene-AABB cell key measured 3.5x
-    # SLOWER than no sort on TNW — see _coherence_key's docstring).
-    sort_every: int = -1
 
     # Work-queue flush policy ----------------------------------------------
     # The queue scheduler's flush (scatter finished samples, claim new

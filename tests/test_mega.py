@@ -63,7 +63,20 @@ def test_mega_backend_gating():
     assert not _mega_backend(dataclasses.replace(cfg, differentiable=True),
                              s0)
     assert not _mega_backend(dataclasses.replace(cfg, bounce_stats=True), s0)
-    # forcing the backend validates the feature envelope loudly
-    assert _mega_backend(dataclasses.replace(cfg, backend="mega"), s0)
-    with pytest.raises(ValueError, match="noise/image"):
-        _mega_backend(dataclasses.replace(cfg, backend="mega"), s2)
+    # forcing the backend validates the feature envelope loudly (under
+    # interpret mode here — on plain CPU the validator itself must refuse)
+    with pltpu.force_tpu_interpret_mode():
+        assert _mega_backend(dataclasses.replace(cfg, backend="mega"), s0)
+        with pytest.raises(ValueError, match="noise/image"):
+            _mega_backend(dataclasses.replace(cfg, backend="mega"), s2)
+    if not on_tpu:
+        with pytest.raises(ValueError, match="needs a TPU"):
+            _mega_backend(dataclasses.replace(cfg, backend="mega"), s0)
+    # a forced megakernel with a contradicting explicit scheduler is an
+    # error, not a silent fallthrough to the auto heuristic
+    from rtw_tpu.integrator import trace_wavefront
+    import jax.numpy as jnp
+    with pytest.raises(ValueError, match="scheduler"):
+        trace_wavefront(s0, dataclasses.replace(cfg, backend="mega",
+                                                scheduler="queue"),
+                        jnp.arange(64, dtype=jnp.int32), R.base_key(0), 0, 1)

@@ -68,6 +68,9 @@ def test_kernel_matches_jnp(sid, scale, shift):
     np.testing.assert_allclose(np.asarray(h_ref.u)[hit],
                                np.asarray(h_k.u)[hit], atol=1e-3)
     np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ_k))
+    # material row id of the winner (both backends, all lanes incl. misses)
+    np.testing.assert_array_equal(np.asarray(h_ref.mat_id),
+                                  np.asarray(h_k.mat_id))
     # shading record of the winner
     np.testing.assert_array_equal(
         np.asarray(sh_ref.mat_type)[hit], np.asarray(sh_k.mat_type)[hit])
@@ -76,92 +79,6 @@ def test_kernel_matches_jnp(sid, scale, shift):
         np.asarray(sh_k.rgb.stack())[hit], atol=1e-6)
     np.testing.assert_allclose(np.asarray(sh_ref.fuzz)[hit],
                                np.asarray(sh_k.fuzz)[hit], atol=1e-6)
-
-
-def _volume_light_scene():
-    """Synthetic Cornell-like scene: lambertian walls + area light + both
-    volume kinds, so the fused kernel's shadow sweep exercises the occ_u
-    row offset (no reference scene combines NEE lights with volumes at a
-    size interpret mode can afford — TNW-final has 4k prims)."""
-    from rtw_tpu.models.builder import SceneBuilder
-    import rtw_tpu.models.scene as S
-
-    b = SceneBuilder()
-    white = b.lambertian(b.constant_texture((0.73, 0.73, 0.73)))
-    ltex = b.constant_texture((15.0, 15.0, 15.0))
-    light = b.diffuse_light(ltex)
-    b.rect(0, 555, 0, 555, 0.0, False, S.AXIS_Y, white)      # floor
-    b.rect(0, 555, 0, 555, 555.0, True, S.AXIS_Y, white)     # ceiling
-    b.rect(0, 555, 0, 555, 555.0, True, S.AXIS_Z, white)     # back
-    b.rect(213, 343, 227, 332, 554.0, True, S.AXIS_Y, light)
-    b.add_light(position=(213.0, 554.0, 227.0),
-                vec_u=(130.0, 0.0, 0.0), vec_v=(0.0, 0.0, 105.0),
-                emission=(15.0, 15.0, 15.0), tex=ltex)
-    iso = b.isotropic(b.constant_texture((1.0, 1.0, 1.0)))
-    b.volume_box((100, 50, 100), (250, 200, 250), 0.01, iso)
-    b.volume_sphere((400, 120, 300), 80.0, 0.01, iso)
-    b.set_camera(lookfrom=(278, 278, -800), lookat=(278, 278, 0),
-                 vup=(0, 1, 0), vfov=40.0, aspect=1.0, aperture=0.0,
-                 focus_dist=10.0)
-    return b.build()
-
-
-@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
-@pytest.mark.parametrize("case", ["cornell", "volume_light"])
-def test_fused_trace_nee_matches_split(case):
-    """Fused trace+NEE kernel == trace_pallas + the integrator's explicit
-    light-sample/occlusion construction, on every output."""
-    from rtw_tpu.ops import sampling as sm
-    from rtw_tpu.ops import vec as V
-
-    if case == "cornell":
-        scene = rt.build_scene(0, 64, 64)
-        scale, shift = 600.0, (278.0, 278.0, -400.0)
-    else:
-        scene = _volume_light_scene()
-        scale, shift = 600.0, (278.0, 278.0, -400.0)
-    assert scene.num_lights == 1
-    rng = np.random.default_rng(11)
-    n = TK.TILE
-    o, d = _rand_rays(rng, n, scale, shift)
-    tm = jnp.zeros((n,), jnp.float32)
-    nv = max(scene.n_vol, 1)
-    vu = jnp.asarray(rng.uniform(0.05, 0.95, (nv, n)), jnp.float32)
-    ou = jnp.asarray(rng.uniform(0.05, 0.95, (nv, n)), jnp.float32)
-    la = jnp.asarray(rng.uniform(0, 1, (n,)), jnp.float32)
-    lb = jnp.asarray(rng.uniform(0, 1, (n,)), jnp.float32)
-    shadow_eps = 1e-3
-
-    with pltpu.force_tpu_interpret_mode():
-        h_k, sh_k, shadowed_k = TK.trace_nee_pallas(
-            scene, o, d, 1e-6, 1e27, tm, vu, ou, la, lb, shadow_eps)
-
-    # reference: split path + the same NEE shadow-ray construction
-    h_ref = intersect_scene(scene, o, d, 1e-6, 1e27, tm, vu)
-    sh_ref = gather_shade(scene, h_ref.prim_idx, h_ref.prim_idx >= 0)
-    np.testing.assert_array_equal(np.asarray(h_ref.prim_idx),
-                                  np.asarray(h_k.prim_idx))
-    hit = np.asarray(h_ref.prim_idx) >= 0
-    np.testing.assert_array_equal(
-        np.asarray(sh_ref.mat_type)[hit], np.asarray(sh_k.mat_type)[hit])
-
-    import rtw_tpu.models.scene as S
-    lights = scene.lights
-    lpos = (V.gather_rows(lights.position, jnp.zeros_like(h_ref.prim_idx))
-            + V.gather_rows(lights.vec_u, jnp.zeros_like(h_ref.prim_idx)) * la
-            + V.gather_rows(lights.vec_v, jnp.zeros_like(h_ref.prim_idx)) * lb)
-    # use the KERNEL's hit record so fp differences in point/normal don't
-    # shift the comparison (the integrator also consumes the kernel's record)
-    ldir = lpos - h_k.point
-    ldist = ldir.length()
-    ldir_u = ldir * (1.0 / jnp.maximum(ldist, 1e-12))
-    sorg = sm.offset_point(h_k.point, h_k.normal, ldir_u)
-    occ_ref = occluded(scene, sorg, ldir_u, shadow_eps,
-                       ldist * np.float32(0.999), tm, ou)
-    want = hit & (np.asarray(sh_k.mat_type) == S.MAT_LAMBERTIAN)
-    np.testing.assert_array_equal(np.asarray(occ_ref)[want],
-                                  np.asarray(shadowed_k)[want])
-    assert not np.asarray(shadowed_k)[~want].any()
 
 
 def _many_prim_scene():
