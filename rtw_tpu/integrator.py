@@ -29,6 +29,7 @@ Russian roulette from depth >= 2 with p = max(throughput) (raygen.cu:74-82).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import numpy as np
@@ -40,6 +41,7 @@ from rtw_tpu.models import scene as S
 from rtw_tpu.ops import sampling as sm
 from rtw_tpu.ops import vec as V
 from rtw_tpu.ops.vec import Vec3
+from rtw_tpu.ops.bounce import BounceEnv, bounce_core
 from rtw_tpu.ops.intersect import BIG, intersect_scene, occluded
 from rtw_tpu.ops.shading import gather_shade, resolve_albedo
 from rtw_tpu.utils import rng as R
@@ -166,7 +168,6 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     occ_u = U[R.NUM_FIXED_SLOTS + nv: R.NUM_FIXED_SLOTS + 2 * nv]
 
     o, d = state.origin, state.direction
-    ray_count = state.ray_count + jnp.sum(state.alive.astype(jnp.float32))
     # Dead lanes get tmax = -BIG: no primitive block can activate for them
     # (the kernels' slab test needs near < tmax, and near >= -BIG always —
     # a merely-negative sentinel would still activate lanes whose origin
@@ -203,227 +204,72 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
                               vol_u)
         shade = gather_shade(scene, hit.prim_idx, hit.prim_idx >= 0)
     miss = hit.prim_idx < 0
-    hit_alive = state.alive & ~miss
 
-    radiance = state.radiance
-
-    # ----- miss: sky gradient or black (miss/miss.cu:8-21) ----------------
-    d_unit = d.normalized()
-    sky_t = 0.5 * (d_unit.y + 1.0)
-    # (1-t)*white + t*(0.5,0.7,1.0), gated by skyLight (Director.cpp:523)
-    sky = Vec3(1.0 - 0.5 * sky_t, 1.0 - 0.3 * sky_t,
-               jnp.ones_like(sky_t)) * scene.sky_light
-    m_sky = state.alive & miss
-    radiance = V.where(m_sky, radiance + state.throughput * sky, radiance)
-
-    # ----- shading record of the winning prim ------------------------------
-    # mat_present: static scene-specialization flags — branches for material
-    # models the scene doesn't contain are not traced at all (the analog of
-    # the reference's per-scene SBT carrying only reachable program groups).
-    mp = scene.mat_present
-    mat_type = shade.mat_type
+    # albedo resolution (textures) stays outside the shared core: the
+    # procedural/atlas texture machinery is executor-specific
     albedo = resolve_albedo(scene, shade, hit.point, hit.u, hit.v,
                             cfg.tex_filter)
-    nrm = hit.normal
-    n = hit.t.shape[0]
-    false_n = jnp.zeros((n,), bool)
-    zero3 = V.zeros(n)
-    ones3 = V.ones(n)
 
-    is_lamb = (mat_type == S.MAT_LAMBERTIAN) if mp[S.MAT_LAMBERTIAN] else false_n
-    is_metal = (mat_type == S.MAT_METAL) if mp[S.MAT_METAL] else false_n
-    is_diel = (mat_type == S.MAT_DIELECTRIC) if mp[S.MAT_DIELECTRIC] else false_n
-    is_light = (mat_type == S.MAT_DIFFUSE_LIGHT) if mp[S.MAT_DIFFUSE_LIGHT] else false_n
-    is_iso = (mat_type == S.MAT_ISOTROPIC) if mp[S.MAT_ISOTROPIC] else false_n
-    is_norm = (mat_type == S.MAT_NORMAL) if mp[S.MAT_NORMAL] else false_n
+    env = BounceEnv(
+        mat_present=scene.mat_present,
+        num_lights=scene.num_lights,
+        mis_bsdf_weight=cfg.mis_bsdf_weight,
+        rr_start_depth=cfg.rr_start_depth,
+        sky_gate=scene.sky_light,
+        unit_ball=sm.unit_ball,
+        light_pdf_at=(lambda o_, p_, du_, pi_, m_:
+                      _light_pdf_at(scene, o_, p_, du_, pi_, m_)),
+        pick_light=functools.partial(_pick_light, scene),
+        occlude=functools.partial(_occlude, scene, cfg, use_pallas,
+                                  state.time, occ_u),
+    )
+    res = bounce_core(env, U, bounce, state.alive, o, d, state.time,
+                      state.throughput, state.radiance, state.prev_pdf,
+                      state.prev_diffuse, miss, hit.point, hit.normal,
+                      shade.mat_type, shade.fuzz, shade.eta, albedo,
+                      hit.prim_idx)
+    return PathState(origin=res.origin, direction=res.direction,
+                     throughput=res.throughput, radiance=res.radiance,
+                     alive=res.alive, time=state.time,
+                     prev_pdf=res.prev_pdf, prev_diffuse=res.prev_diffuse,
+                     ray_count=state.ray_count + jnp.sum(res.rays_lane))
 
-    scatter_dir = d_unit  # placeholder for lanes that terminate anyway
-    attenuation = albedo
-    cancel = false_n
-    terminate = false_n
 
-    # ----- lambertian: cosine-hemisphere scatter (lambertianMaterial.cu) --
-    if mp[S.MAT_LAMBERTIAN]:
-        ou, ov, ow = sm.build_onb(nrm)
-        local = sm.cosine_direction(U[R.U_SCATTER_0], U[R.U_SCATTER_1])
-        lamb_dir = sm.onb_local(ou, ov, ow, local).normalized()
-        lamb_pdf = local.z * sm.INV_PI
-        lamb_scatter_pdf = nrm.dot(lamb_dir) * sm.INV_PI
-        lamb_cancel = (lamb_pdf <= 0.0) | (lamb_scatter_pdf <= 0.0)
-        scatter_dir = V.where(is_lamb, lamb_dir, scatter_dir)
-        cancel = cancel | (is_lamb & lamb_cancel)
-    else:
-        lamb_pdf = jnp.ones_like(hit.t)
+def _pick_light(scene: S.Scene, u_sel, ua, ub):
+    """BounceEnv.pick_light for the XLA integrator: uniform selection among
+    the scene's Lights rows (row gathers; L == 1 folds to broadcasts)."""
+    lights = scene.lights
+    L = scene.num_lights
+    li = (jnp.zeros_like(u_sel, dtype=jnp.int32) if L == 1 else
+          jnp.clip((u_sel * L).astype(jnp.int32), 0, L - 1))
+    l_area = lights.area[0] if L == 1 else lights.area[li]
+    lpos = (V.gather_rows(lights.position, li)
+            + V.gather_rows(lights.vec_u, li) * ua
+            + V.gather_rows(lights.vec_v, li) * ub)
+    return (lpos, l_area, V.gather_rows(lights.normal, li),
+            V.gather_rows(lights.emission, li))
 
-    # ----- metal: fuzzy mirror (metalMaterial.cu) -------------------------
-    if mp[S.MAT_METAL]:
-        fuzz = shade.fuzz
-        refl = V.reflect(d_unit, nrm)
-        fuzz_vec = sm.unit_ball(U[R.U_SCATTER_0], U[R.U_SCATTER_1],
-                                U[R.U_SCATTER_2])
-        metal_dir = (refl + fuzz_vec * fuzz).normalized()
-        metal_cancel = metal_dir.dot(nrm) <= 0.0
-        scatter_dir = V.where(is_metal, metal_dir, scatter_dir)
-        cancel = cancel | (is_metal & metal_cancel)
 
-    # ----- dielectric: Snell + Schlick (dielectricMaterial.cu) ------------
-    if mp[S.MAT_DIELECTRIC]:
-        eta = shade.eta
-        outside = d_unit.dot(nrm) < 0.0
-        ln = V.where(outside, nrm, -nrm)
-        eta_i = jnp.where(outside, 1.0, eta)
-        eta_t = jnp.where(outside, eta, 1.0)
-        ratio = eta_i / eta_t
-        cos_i = jnp.minimum((-d_unit).dot(ln), 1.0)
-        sin_i = sm.safe_sqrt(1.0 - cos_i * cos_i)
-        tir = ratio * sin_i > 1.0
-        reflect_prob = sm.fresnel_schlick(cos_i, eta_i, eta_t)
-        do_reflect = tir | (U[R.U_DIELECTRIC] < reflect_prob)
-        sin_t = jnp.minimum(ratio * sin_i, 1.0)
-        cos_t = sm.safe_sqrt(1.0 - sin_t * sin_t)
-        refr_dir = (d_unit + ln * cos_i) * ratio - ln * cos_t
-        diel_dir = V.where(do_reflect, V.reflect(d_unit, ln), refr_dir)
-        scatter_dir = V.where(is_diel, diel_dir, scatter_dir)
-        attenuation = V.where(is_diel, ones3, attenuation)
+def _occlude(scene: S.Scene, cfg, use_pallas, time, occ_u,
+             shadow_org, ldir_u, occ_tmax, want):
+    """BounceEnv.occlude for the XLA integrator: shadow-ray any-hit query
+    through the configured trace backend."""
+    if use_pallas:
+        from rtw_tpu.ops.trace_kernel import occluded_pallas
 
-    # ----- isotropic: uniform sphere scatter (isotropicMaterial.cu) -------
-    if mp[S.MAT_ISOTROPIC]:
-        iso_dir = sm.sphere_surface(U[R.U_SCATTER_0], U[R.U_SCATTER_1])
-        scatter_dir = V.where(is_iso, iso_dir, scatter_dir)
-
-    # ----- diffuse light: one-sided emission, terminate (diffuseLight.cu) -
-    if mp[S.MAT_DIFFUSE_LIGHT]:
-        facing = nrm.dot(d_unit) < 0.0
-        emitted = V.where(facing, albedo, zero3)
-        if cfg.mis_bsdf_weight and scene.num_lights > 0:
-            w_mask = hit_alive & is_light & state.prev_diffuse
-            lp = _light_pdf_at(scene, o, hit.point, d_unit, hit.prim_idx,
-                               w_mask)
-            prev_safe = jnp.where(w_mask, state.prev_pdf, 1.0)
-            w_bsdf = jnp.where(w_mask, sm.power_heuristic(prev_safe, lp), 1.0)
-        else:
-            w_bsdf = jnp.ones_like(hit.t)
-        radiance = V.where(hit_alive & is_light,
-                           radiance + state.throughput * emitted * w_bsdf,
-                           radiance)
-        attenuation = V.where(is_light, zero3, attenuation)
-        terminate = terminate | is_light
-
-    # ----- normal-debug: terminate with normal color (normalMaterial.cu;
-    # book-correct contribution — the reference's port makes it render black,
-    # SURVEY §2.2) ---------------------------------------------------------
-    if mp[S.MAT_NORMAL]:
-        radiance = V.where(hit_alive & is_norm,
-                           radiance + state.throughput * (nrm * 0.5 + 0.5),
-                           radiance)
-        attenuation = V.where(is_norm, zero3, attenuation)
-        terminate = terminate | is_norm
-
-    terminate = terminate | cancel
-
-    # ----- next-event estimation (closehit.cu:70-118) ---------------------
-    if scene.num_lights > 0 and mp[S.MAT_LAMBERTIAN]:
-        lights = scene.lights
-        L = scene.num_lights
-        li = (jnp.zeros_like(hit.mat_id) if L == 1 else
-              jnp.clip((U[R.U_LIGHT_SELECT] * L).astype(jnp.int32), 0, L - 1))
-        l_area = lights.area[0] if L == 1 else lights.area[li]
-        lpos = (V.gather_rows(lights.position, li)
-                + V.gather_rows(lights.vec_u, li) * U[R.U_LIGHT_A]
-                + V.gather_rows(lights.vec_v, li) * U[R.U_LIGHT_B])
-        ldir = lpos - hit.point
-        ldist = ldir.length()
-        ldir_u = ldir * (1.0 / jnp.maximum(ldist, 1e-12))
-        costa = (-ldir_u).dot(V.gather_rows(lights.normal, li))
-        l_valid = (ldist > 1e-6) & (costa > 1e-6)
-        # "double-where": neutralize inputs on invalid lanes BEFORE the
-        # divisions so their (masked-out) cotangents can't overflow to
-        # inf/NaN and poison reverse-mode (standard jnp.where-grad trap)
-        costa_safe = jnp.where(l_valid, costa, 1.0)
-        # selection-INCLUSIVE pdf (uniform 1/L light choice x uniform area,
-        # mapped to solid angle).  Both the estimator divisor and the MIS
-        # weight must use this same pdf — the reference instead scales
-        # emission by numLights (rectPdf.cu:158-160, value-equivalent) but
-        # weights with the raw per-light pdf, which would mis-weight any
-        # L>1 scene; no live reference scene has L>1.  _light_pdf_at (the
-        # BSDF-side weight) matches this definition.
-        l_pdf = jnp.where(
-            l_valid,
-            ldist * ldist / (np.float32(L) * l_area * costa_safe), 0.0)
-        l_emission = V.gather_rows(lights.emission, li)
-
-        # diffuse BSDF toward the light (lambertianMaterial.cu:74-81)
-        bsdf_pdf = jnp.maximum(ldir_u.dot(nrm), 0.0) * sm.INV_PI
-
-        nee_active = (hit_alive & is_lamb & ~cancel
-                      & l_valid & (bsdf_pdf > 0.0))
-        ray_count = ray_count + jnp.sum(nee_active.astype(jnp.float32))
-        shadow_org = sm.offset_point(hit.point, nrm, ldir_u)
-        # relative end margin: the absolute 5e-5 of the reference
-        # (closehit.cu:100) is smaller than fp32 error at scene scale and
-        # than the acne offset above, making the light occlude itself
-        # lanes with no NEE work get tmax = -BIG: fully-inactive shadow
-        # tiles resolve at slab-test cost (their verdict is masked out below)
-        occ_tmax = jnp.where(nee_active, ldist * np.float32(0.999),
-                             np.float32(-BIG))
-        if use_pallas:
-            from rtw_tpu.ops.trace_kernel import occluded_pallas
-
-            if cfg.differentiable:
-                # visibility is a detached boolean (it carries no gradient
-                # in the detached-sampling estimator, diff.py docstring);
-                # stop_gradient on every input keeps the pallas_call out of
-                # the differentiated graph entirely
-                sg2 = lax.stop_gradient
-                shadowed = occluded_pallas(sg2(scene), sg2(shadow_org),
-                                           sg2(ldir_u), cfg.shadow_eps,
-                                           sg2(occ_tmax), sg2(state.time),
-                                           sg2(occ_u))
-            else:
-                shadowed = occluded_pallas(scene, shadow_org, ldir_u,
-                                           cfg.shadow_eps, occ_tmax,
-                                           state.time, occ_u)
-        else:
-            shadowed = occluded(scene, shadow_org, ldir_u, cfg.shadow_eps,
-                                occ_tmax, state.time, occ_u)
-        l_pdf_safe = jnp.where(nee_active, l_pdf, 1.0)
-        bsdf_safe = jnp.where(nee_active, bsdf_pdf, 1.0)
-        w_nee = sm.power_heuristic(l_pdf_safe, bsdf_safe)
-        # f = albedo/pi; contribution = f * Le * w * cos / l_pdf
-        nee_s = w_nee * jnp.maximum(ldir_u.dot(nrm), 0.0) * sm.INV_PI / l_pdf_safe
-        nee = albedo * l_emission * nee_s
-        radiance = V.where(nee_active & ~shadowed,
-                           radiance + state.throughput * nee,
-                           radiance)
-
-    # ----- advance --------------------------------------------------------
-    new_alive = hit_alive & ~terminate
-    # volume (isotropic) scatter points must NOT be offset along the fake
-    # +X normal: they continue from inside the medium
-    next_org = V.where(is_iso, hit.point,
-                       sm.offset_point(hit.point, nrm, scatter_dir))
-    origin = V.where(hit_alive, next_org, o)
-    direction = V.where(new_alive, scatter_dir, d)
-    throughput = V.where(new_alive, state.throughput * attenuation,
-                         state.throughput)
-
-    # ----- russian roulette (raygen.cu:74-82) -----------------------------
-    rr_on = bounce >= cfg.rr_start_depth
-    p_cont = throughput.max_component()
-    kill = U[R.U_RR] > p_cont
-    rr_kill = rr_on & kill
-    alive = new_alive & ~rr_kill
-    rr_scale = jnp.where(rr_on & ~kill & new_alive,
-                         1.0 / jnp.maximum(p_cont, 1e-12), 1.0)
-    throughput = throughput * rr_scale
-
-    prev_pdf = jnp.where(new_alive & is_lamb, lamb_pdf, state.prev_pdf)
-    prev_diffuse = jnp.where(new_alive, is_lamb, state.prev_diffuse)
-
-    return PathState(origin=origin, direction=direction, throughput=throughput,
-                     radiance=radiance, alive=alive, time=state.time,
-                     prev_pdf=prev_pdf, prev_diffuse=prev_diffuse,
-                     ray_count=ray_count)
+        if cfg.differentiable:
+            # visibility is a detached boolean (it carries no gradient in
+            # the detached-sampling estimator, diff.py docstring);
+            # stop_gradient on every input keeps the pallas_call out of the
+            # differentiated graph entirely
+            sg = lax.stop_gradient
+            return occluded_pallas(sg(scene), sg(shadow_org), sg(ldir_u),
+                                   cfg.shadow_eps, sg(occ_tmax), sg(time),
+                                   sg(occ_u))
+        return occluded_pallas(scene, shadow_org, ldir_u, cfg.shadow_eps,
+                               occ_tmax, time, occ_u)
+    return occluded(scene, shadow_org, ldir_u, cfg.shadow_eps, occ_tmax,
+                    time, occ_u)
 
 
 def trace_paths_counted(scene: S.Scene, cfg, pixel_idx, sample_idx, key):
@@ -876,17 +722,18 @@ def trace_wavefront_regen(scene: S.Scene, cfg, pixel_idx, key, s0: int,
 
 class _QueueState(NamedTuple):
     """Work-queue wavefront carry.  `accum` is indexed by ITEM POSITION
-    (row r sums pixel_idx[r]'s samples), so lane permutations never touch
-    it — each lane carries `item_pos` pointing at its row."""
+    (column r sums pixel_idx[r]'s samples), so lane permutations never touch
+    it — each lane carries `item_pos` pointing at its column."""
 
     path: PathState
     path_keys: Any     # per-path RNG state
     depth: Any         # [N] int32: bounce index of the lane's current path
-    item_pos: Any      # [N] int32: row of accum this lane's sample belongs to
+    item_pos: Any      # [N] int32: accum column this lane's sample belongs to
     sample: Any        # [N] int32: sample index of the lane's current item
     pixel: Any         # [N] int32: pixel id of the lane's current item
     pending: Any       # [N] bool: finished, contribution not yet flushed
-    accum: Vec3        # [N] planes: per-position radiance sums
+    accum: Any         # [3, N] f32: per-position radiance sums (one packed
+                       # scatter-add per flush instead of three [N] ones)
     rays: Any          # scalar f32
     cursor: Any        # scalar int32: next unclaimed item
     thresh: Any        # scalar int32: alive count at the last compaction
@@ -899,6 +746,39 @@ def _resolved_flush_denom(cfg) -> int:
 
 
 _FLUSH_DENOM = None   # experiment override; None = use cfg.flush_denom
+
+
+def decode_tile_pixel(pos, nx: int, ny: int, tile: int = 32):
+    """Closed form of render.tile_permutation: the pixel id rendered by lane
+    `pos` under the (y//T, x//T, y%T, x%T) lexsort, including partial edge
+    tiles.  Lets the work-queue flush derive a claimed item's pixel with a
+    dozen VPU int ops instead of a per-lane gather through pixel_idx (~2 ms
+    per 320k lanes per iteration on TPU — the 'claim pixel-gather' item of
+    the round-3 xprof breakdown, docs/ROADMAP.md)."""
+    t = tile
+    rx, ry = nx % t, ny % t
+    ntx, nty = nx // t, ny // t
+    lanes_row = nx * t
+    ty = pos // lanes_row        # partial last row has < lanes_row lanes but
+    rem = pos - ty * lanes_row   # still floors to nty for every lane in it
+    if ry:
+        last_row = ty >= nty
+        th = jnp.where(last_row, ry, t)
+        tx_raw = jnp.where(last_row, rem // (ry * t), rem // (t * t))
+    else:
+        th = t
+        tx_raw = rem // (t * t)
+    tx = jnp.minimum(tx_raw, ntx) if rx else tx_raw
+    local = rem - tx * (th * t)
+    if rx:
+        last_col = tx >= ntx
+        iy = jnp.where(last_col, local // rx, local // t)
+        tw = jnp.where(last_col, rx, t)
+        ix = local - iy * tw
+    else:
+        iy = local // t
+        ix = local - iy * t
+    return (ty * t + iy) * nx + tx * t + ix
 
 
 def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
@@ -945,7 +825,7 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         sample=s_init,
         pixel=pixel_idx,
         pending=jnp.zeros((n,), bool),
-        accum=V.zeros(n),
+        accum=jnp.zeros((3, n), jnp.float32),
         rays=jnp.zeros((), jnp.float32),
         cursor=jnp.asarray(n, jnp.int32),
         thresh=jnp.asarray(n, jnp.int32),
@@ -956,16 +836,15 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         return jnp.any(wf.path.alive) | jnp.any(wf.pending)
 
     def flush(w: _QueueState) -> _QueueState:
-        """Scatter every pending lane's finished sample into its accum row
-        and claim it a new item (cursor + rank among pending)."""
+        """Scatter every pending lane's finished sample into its accum
+        column and claim it a new item (cursor + rank among pending)."""
         pend = w.pending
         rad = Vec3(*(jnp.nan_to_num(c, nan=0.0, posinf=0.0, neginf=0.0)
                      for c in w.path.radiance))   # scrub per sample
-        accum = Vec3(
-            w.accum.x.at[w.item_pos].add(jnp.where(pend, rad.x, 0.0)),
-            w.accum.y.at[w.item_pos].add(jnp.where(pend, rad.y, 0.0)),
-            w.accum.z.at[w.item_pos].add(jnp.where(pend, rad.z, 0.0)),
-        )
+        vals = jnp.stack([jnp.where(pend, rad.x, 0.0),
+                          jnp.where(pend, rad.y, 0.0),
+                          jnp.where(pend, rad.z, 0.0)], axis=0)
+        accum = w.accum.at[:, w.item_pos].add(vals)
         fin = pend.astype(jnp.int32)
         rank = jnp.cumsum(fin) - 1
         new_item = w.cursor + rank
@@ -973,7 +852,12 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         q = new_item // n
         pos = jnp.where(have, new_item - q * n, w.item_pos)
         sample = jnp.where(have, s0 + q, w.sample)
-        pixel = jnp.where(have, pixel_idx[jnp.minimum(pos, n - 1)], w.pixel)
+        if cfg.pixel_layout == "tile32":
+            pixel = jnp.where(have, decode_tile_pixel(pos, cfg.nx, cfg.ny),
+                              w.pixel)
+        else:
+            pixel = jnp.where(have, pixel_idx[jnp.minimum(pos, n - 1)],
+                              w.pixel)
 
         new_keys = R.make_path_keys(key, pixel, sample, cfg.rng)
         fresh = generate_camera_rays(scene, cfg, pixel, new_keys)
@@ -1049,4 +933,4 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         return nwf
 
     wf = lax.while_loop(cond, body, wf)
-    return wf.accum, wf.rays, wf.stats
+    return Vec3(wf.accum[0], wf.accum[1], wf.accum[2]), wf.rays, wf.stats

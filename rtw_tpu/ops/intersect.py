@@ -149,7 +149,13 @@ def _volume_t(near, far, valid, density, u, tmin, tmax, d_len):
     h2 = jnp.minimum(far, tmax)
     ok = valid & (h1 < h2)
     dist_inside = (h2 - h1) * d_len
-    flight = -(1.0 / density) * jnp.log(jnp.maximum(u, 1e-30))
+    # density guard: block PAD rows carry density 0; 1/0 = inf makes
+    # `flight` inf there, and inf reaches d_len's REVERSE-MODE cotangent as
+    # 0 * inf = NaN through `flight / d_len` (d_len depends on the
+    # differentiable ray direction) — the masked primal is fine but the NaN
+    # cotangent contaminates shared camera gradients through the lane sum.
+    flight = (-(1.0 / jnp.maximum(density, 1e-20))
+              * jnp.log(jnp.maximum(u, 1e-30)))
     ok = ok & (flight <= dist_inside)
     t = h1 + flight / d_len
     return jnp.where(ok, t, BIG)
@@ -353,9 +359,16 @@ def _payload(ptype: int, axis: int, p9, o: Vec3, d: Vec3, t, time,
         return _box_payload(p9, o, d, t, tmin)
     point = o + d * t
     zero = jnp.zeros_like(t)
+    # Radius guard: the payload runs for EVERY lane with the lane's winner
+    # params gathered positionally, so lanes whose winner is another type
+    # see garbage in p9[3] — a TNW ground box with maxx == 0.0 exactly makes
+    # 1/p9[3] = inf here, and the masked lane's inf forward value becomes a
+    # 0*inf = NaN COTANGENT in reverse-mode that contaminates the shared
+    # camera-parameter gradient through the lane sum (masking selects
+    # values, not cotangent arithmetic).  Real radii are > 0.
     if ptype == S.PRIM_SPHERE:
-        inv_r = 1.0 / p9[3]
-        normal = (point - Vec3(p9[0], p9[1], p9[2])) * inv_r
+        r_safe = jnp.where(jnp.abs(p9[3]) > 1e-20, p9[3], 1.0)
+        normal = (point - Vec3(p9[0], p9[1], p9[2])) * (1.0 / r_safe)
         u, v = sphere_uv(normal)
         return point, normal, u, v
     if ptype == S.PRIM_MOVING_SPHERE:
@@ -365,7 +378,8 @@ def _payload(ptype: int, axis: int, p9, o: Vec3, d: Vec3, t, time,
         frac = jnp.where(span == 0.0, 0.0,
                          (time - p9[7]) / jnp.where(span == 0.0, 1.0, span))
         center = c0 + (c1 - c0) * frac
-        normal = (point - center) * (1.0 / p9[3])
+        r_safe = jnp.where(jnp.abs(p9[3]) > 1e-20, p9[3], 1.0)
+        normal = (point - center) * (1.0 / r_safe)
         u, v = sphere_uv(normal)
         return point, normal, u, v
     if ptype == S.PRIM_RECT:

@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rtw_tpu.models import scene as S
+from rtw_tpu.ops import bounce as BC
 from rtw_tpu.ops import sampling as sm
 from rtw_tpu.ops import vec as V
 from rtw_tpu.ops.vec import Vec3
@@ -228,18 +229,6 @@ def _mega_body(chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
                        props_ref, aabb_ref, bt_ref, bi_ref, bp_ref, nm_ref)
     best_t, best_i, bp, point, normal, uu, vv = res
     miss = best_i < 0
-    hit_alive = alive & ~miss
-    rays_count = alive.astype(jnp.float32)
-
-    # ---- miss: sky gradient x sky_light (miss.cu, Director.cpp:523) ------
-    d_unit = dirn.normalized()
-    sky_t = 0.5 * (d_unit.y + 1.0)
-    sky_gate = parf_ref[0, PF_SKY]
-    sky = Vec3((1.0 - 0.5 * sky_t) * sky_gate,
-               (1.0 - 0.3 * sky_t) * sky_gate,
-               jnp.ones_like(sky_t) * sky_gate)
-    m_sky = alive & miss
-    rad = V.where(m_sky, rad + thr * sky, rad)
 
     # ---- shading record from the winner's props rows ---------------------
     mat_type = bp[_MAT].astype(jnp.int32)
@@ -253,150 +242,48 @@ def _mega_body(chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
         checker = V.where(sines < 0.0, odd, even)
         albedo = V.where(tex_type == S.TEX_CHECKER, checker, albedo)
 
-    mp = mat_present
-    nrm = normal
-    is_lamb = (mat_type == S.MAT_LAMBERTIAN) if mp[S.MAT_LAMBERTIAN] else false_n
-    is_metal = (mat_type == S.MAT_METAL) if mp[S.MAT_METAL] else false_n
-    is_diel = (mat_type == S.MAT_DIELECTRIC) if mp[S.MAT_DIELECTRIC] else false_n
-    is_light = (mat_type == S.MAT_DIFFUSE_LIGHT) if mp[S.MAT_DIFFUSE_LIGHT] else false_n
-    is_iso = (mat_type == S.MAT_ISOTROPIC) if mp[S.MAT_ISOTROPIC] else false_n
-    is_norm = (mat_type == S.MAT_NORMAL) if mp[S.MAT_NORMAL] else false_n
-
-    scatter_dir = d_unit
-    attenuation = albedo
-    cancel = false_n
-    terminate = false_n
-    zero3 = Vec3(zero, zero, zero)
-    ones3 = Vec3(ones, ones, ones)
-
-    if mp[S.MAT_LAMBERTIAN]:
-        ou, ov, ow = sm.build_onb(nrm)
-        local = sm.cosine_direction(U[R.U_SCATTER_0], U[R.U_SCATTER_1])
-        lamb_dir = sm.onb_local(ou, ov, ow, local).normalized()
-        lamb_pdf = local.z * sm.INV_PI
-        lamb_scatter_pdf = nrm.dot(lamb_dir) * sm.INV_PI
-        lamb_cancel = (lamb_pdf <= 0.0) | (lamb_scatter_pdf <= 0.0)
-        scatter_dir = V.where(is_lamb, lamb_dir, scatter_dir)
-        cancel = cancel | (is_lamb & lamb_cancel)
-    else:
-        lamb_pdf = ones
-
-    if mp[S.MAT_METAL]:
-        fuzz = bp[_FUZZ]
-        refl = V.reflect(d_unit, nrm)
-        fuzz_vec = _unit_ball_k(U[R.U_SCATTER_0], U[R.U_SCATTER_1],
-                                U[R.U_SCATTER_2])
-        metal_dir = (refl + fuzz_vec * fuzz).normalized()
-        metal_cancel = metal_dir.dot(nrm) <= 0.0
-        scatter_dir = V.where(is_metal, metal_dir, scatter_dir)
-        cancel = cancel | (is_metal & metal_cancel)
-
-    if mp[S.MAT_DIELECTRIC]:
-        eta = bp[_ETA]
-        outside = d_unit.dot(nrm) < 0.0
-        ln = V.where(outside, nrm, -nrm)
-        eta_i = jnp.where(outside, 1.0, eta)
-        eta_t = jnp.where(outside, eta, 1.0)
-        ratio = eta_i / eta_t
-        cos_i = jnp.minimum((-d_unit).dot(ln), 1.0)
-        sin_i = sm.safe_sqrt(1.0 - cos_i * cos_i)
-        tir = ratio * sin_i > 1.0
-        reflect_prob = sm.fresnel_schlick(cos_i, eta_i, eta_t)
-        do_reflect = tir | (U[R.U_DIELECTRIC] < reflect_prob)
-        sin_t = jnp.minimum(ratio * sin_i, 1.0)
-        cos_t = sm.safe_sqrt(1.0 - sin_t * sin_t)
-        refr_dir = (d_unit + ln * cos_i) * ratio - ln * cos_t
-        diel_dir = V.where(do_reflect, V.reflect(d_unit, ln), refr_dir)
-        scatter_dir = V.where(is_diel, diel_dir, scatter_dir)
-        attenuation = V.where(is_diel, ones3, attenuation)
-
-    if mp[S.MAT_ISOTROPIC]:
-        iso_dir = sm.sphere_surface(U[R.U_SCATTER_0], U[R.U_SCATTER_1])
-        scatter_dir = V.where(is_iso, iso_dir, scatter_dir)
-
-    if mp[S.MAT_DIFFUSE_LIGHT]:
-        facing = nrm.dot(d_unit) < 0.0
-        emitted = V.where(facing, albedo, zero3)
-        if mis_bsdf_weight and num_lights > 0:
-            # single-light _light_pdf_at (L == 1 closed form)
-            w_mask = hit_alive & is_light & prev_diffuse
-            dvec = point - org
-            dist2 = jnp.where(w_mask, dvec.dot(dvec), 1.0)
-            lnrm = _sv(parf_ref, PF_LNRM)
-            cos_t2 = jnp.abs(d_unit.dot(lnrm))
-            cos_t2 = jnp.where(w_mask & (cos_t2 > 1e-6), cos_t2, 1.0)
-            lp = dist2 / (parf_ref[0, PF_LAREA] * cos_t2)
-            prev_safe = jnp.where(w_mask, prev_pdf, 1.0)
-            w_bsdf = jnp.where(w_mask, sm.power_heuristic(prev_safe, lp), 1.0)
-        else:
-            w_bsdf = ones
-        rad = V.where(hit_alive & is_light, rad + thr * emitted * w_bsdf, rad)
-        attenuation = V.where(is_light, zero3, attenuation)
-        terminate = terminate | is_light
-
-    if mp[S.MAT_NORMAL]:
-        rad = V.where(hit_alive & is_norm, rad + thr * (nrm * 0.5 + 0.5), rad)
-        attenuation = V.where(is_norm, zero3, attenuation)
-        terminate = terminate | is_norm
-
-    terminate = terminate | cancel
-
-    # ---- NEE (closehit.cu:70-118; single light) --------------------------
-    if num_lights > 0 and mp[S.MAT_LAMBERTIAN]:
-        lpos = (_sv(parf_ref, PF_LPOS)
-                + _sv(parf_ref, PF_LU) * U[R.U_LIGHT_A]
-                + _sv(parf_ref, PF_LV) * U[R.U_LIGHT_B])
-        ldir = lpos - point
-        ldist = ldir.length()
-        ldir_u = ldir * (1.0 / jnp.maximum(ldist, 1e-12))
+    # ---- one bounce of the shared estimator core (ops/bounce.py) ---------
+    # Environment accessors: SMEM light scalars, Mosaic-safe cbrt, in-kernel
+    # occlusion sweep.  L == 1 always (gated by _mega_backend).
+    def light_pdf_at(o_, p_, du_, pi_, m_):
+        dvec = p_ - o_
+        dist2 = jnp.where(m_, dvec.dot(dvec), 1.0)
         lnrm = _sv(parf_ref, PF_LNRM)
-        costa = (-ldir_u).dot(lnrm)
-        l_valid = (ldist > 1e-6) & (costa > 1e-6)
-        costa_safe = jnp.where(l_valid, costa, 1.0)
-        l_pdf = jnp.where(l_valid,
-                          ldist * ldist / (parf_ref[0, PF_LAREA]
-                                           * costa_safe), 0.0)
-        l_emit = _sv(parf_ref, PF_LEMIT)
-        bsdf_pdf = jnp.maximum(ldir_u.dot(nrm), 0.0) * sm.INV_PI
-        nee_active = (hit_alive & is_lamb & ~cancel
-                      & l_valid & (bsdf_pdf > 0.0))
-        rays_count = rays_count + nee_active.astype(jnp.float32)
-        shadow_org = sm.offset_point(point, nrm, ldir_u)
-        occ_tmax = jnp.where(nee_active, ldist * np.float32(0.999),
-                             np.float32(-BIG))
+        cos_t2 = jnp.abs(du_.dot(lnrm))
+        cos_t2 = jnp.where(m_ & (cos_t2 > 1e-6), cos_t2, 1.0)
+        return dist2 / (parf_ref[0, PF_LAREA] * cos_t2)
+
+    def pick_light(u_sel, ua, ub):
+        lpos = (_sv(parf_ref, PF_LPOS) + _sv(parf_ref, PF_LU) * ua
+                + _sv(parf_ref, PF_LV) * ub)
+        return (lpos, parf_ref[0, PF_LAREA], _sv(parf_ref, PF_LNRM),
+                _sv(parf_ref, PF_LEMIT))
+
+    def occlude(shadow_org, ldir_u, occ_tmax, want):
         _occl_sweep(chunk_plan, vol_slots, shadow_eps, shadow_org, ldir_u,
                     time, occ_tmax, vu_ref, nv, props_ref, aabb_ref,
-                    occ_ref, nm_ref, want=nee_active)
-        shadowed = occ_ref[0, :] > 0.5
-        l_pdf_safe = jnp.where(nee_active, l_pdf, 1.0)
-        bsdf_safe = jnp.where(nee_active, bsdf_pdf, 1.0)
-        w_nee = sm.power_heuristic(l_pdf_safe, bsdf_safe)
-        nee_s = (w_nee * jnp.maximum(ldir_u.dot(nrm), 0.0) * sm.INV_PI
-                 / l_pdf_safe)
-        nee = albedo * l_emit * nee_s
-        rad = V.where(nee_active & ~shadowed, rad + thr * nee, rad)
+                    occ_ref, nm_ref, want=want)
+        return occ_ref[0, :] > 0.5
 
-    # ---- advance ---------------------------------------------------------
-    new_alive = hit_alive & ~terminate
-    next_org = V.where(is_iso, point,
-                       sm.offset_point(point, nrm, scatter_dir))
-    org = V.where(hit_alive, next_org, org)
-    dirn = V.where(new_alive, scatter_dir, dirn)
-    thr = V.where(new_alive, thr * attenuation, thr)
-
-    # ---- russian roulette (raygen.cu:74-82) ------------------------------
-    rr_on = depth >= rr_start
-    p_cont = thr.max_component()
-    kill = U[R.U_RR] > p_cont
-    rr_kill = rr_on & kill
-    still = new_alive & ~rr_kill
-    rr_scale = jnp.where(rr_on & ~kill & new_alive,
-                         1.0 / jnp.maximum(p_cont, 1e-12), 1.0)
-    thr = thr * rr_scale
-
-    prev_pdf = jnp.where(new_alive & is_lamb, lamb_pdf, prev_pdf)
-    # boolean algebra, not jnp.where: Mosaic cannot select on i1 vectors
-    prev_diffuse = (new_alive & is_lamb) | (~new_alive & prev_diffuse)
+    env = BC.BounceEnv(
+        mat_present=mat_present,
+        num_lights=num_lights,
+        mis_bsdf_weight=mis_bsdf_weight,
+        rr_start_depth=rr_start,
+        sky_gate=parf_ref[0, PF_SKY],
+        unit_ball=_unit_ball_k,
+        light_pdf_at=light_pdf_at,
+        pick_light=pick_light,
+        occlude=occlude,
+    )
+    res = BC.bounce_core(env, U, depth, alive, org, dirn, time, thr, rad,
+                         prev_pdf, prev_diffuse, miss, point, normal,
+                         mat_type, bp[_FUZZ], bp[_ETA], albedo, best_i)
+    org, dirn, thr, rad = res.origin, res.direction, res.throughput, \
+        res.radiance
+    still = res.alive
+    prev_pdf, prev_diffuse = res.prev_pdf, res.prev_diffuse
+    rays_count = res.rays_lane
 
     # ---- finish / accumulate (trace_wavefront_regen semantics) -----------
     depth = depth + 1

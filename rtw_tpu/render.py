@@ -11,6 +11,7 @@ Gamma is applied only at image write, on the converged linear accumulator
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 import sys as _sys
@@ -84,6 +85,11 @@ def render(scene, cfg, key=None, verbose: bool = False,
     pixel_idx = jnp.asarray(np.concatenate(
         [perm, np.zeros(pad, np.int32)]))      # padded lanes recompute pixel 0
     perm_j = jnp.asarray(perm)
+    # whole image in one batch: the lane -> pixel map IS tile_permutation, so
+    # the work-queue flush can decode pixels arithmetically (config.py
+    # pixel_layout; integrator.decode_tile_pixel)
+    if n_tiles == 1 and pad == 0 and cfg.pixel_layout == "generic":
+        cfg = dataclasses.replace(cfg, pixel_layout="tile32")
 
     from rtw_tpu.integrator import _stats_zero
 

@@ -92,6 +92,17 @@ class RenderConfig:
     # 0 = flush every iteration, unconditional.
     flush_denom: int = 2
 
+    # Pixel-layout contract --------------------------------------------------
+    # "tile32":  pixel_idx follows render.tile_permutation(nx, ny, 32) with
+    #            lane == item position (whole image in one batch, no pad), so
+    #            the work-queue flush decodes a claimed item's pixel
+    #            ARITHMETICALLY (integrator.decode_tile_pixel — the lexsort's
+    #            closed form) instead of gathering pixel_idx[pos] (~2 ms per
+    #            320k lanes per iteration).  render() sets this automatically
+    #            when the whole image is one batch.
+    # "generic": any pixel_idx; the flush gathers.
+    pixel_layout: str = "generic"
+
     # RNG implementation -------------------------------------------------
     # "fast": stateless pcg_hash streams keyed by (seed, pixel, sample,
     #         bounce, slot) — the GPU-rendering standard, ~100x cheaper than

@@ -183,6 +183,30 @@ def test_chunked_grad_matches_monolithic(simple_scene):
                                    rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("sid", [0, 1, 2, 3, 4, 5])
+def test_gradients_finite_all_scenes(sid):
+    """Every reference scene must yield finite gradients.  Regression for
+    two masked-lane NaN-cotangent leaks found in round 4 (both poisoned the
+    SHARED camera gradient through the lane sum while the primal image was
+    fine): a TNW ground box with maxx == 0.0 made the sphere payload's
+    1/p9[3] inf on mismatched-winner lanes, and zero-density volume PAD
+    rows sent inf `flight` into d_len's cotangent (intersect.py guards)."""
+    size = 24
+    cfg = rt.RenderConfig(nx=size, ny=size, spp=1, max_depth=3,
+                          differentiable=True, backend="jnp", scene_id=sid)
+    scene = rt.build_scene(sid, size, size)
+    pix = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    params = extract_params(scene)
+    target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    loss, g = make_loss_and_grad(scene, cfg, 2)(params, target, pix,
+                                                R.base_key(3))
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves), \
+        [np.isnan(np.asarray(l)).any() for l in leaves]
+    assert float(jnp.abs(g["tex_color"]).sum()) > 0
+
+
 @pytest.mark.parametrize("sid", [0, 3])
 def test_pallas_grad_matches_jnp(sid):
     """The fast gradient path (Pallas forward trace under stop_gradient +

@@ -328,3 +328,41 @@ def test_mis_unbiased_coplanar_adjacent_lights():
     bsdf_cfg = rt.RenderConfig(nx=24, ny=24, spp=3000, max_depth=6, seed=22)
     bsdf = _render_mean(bsdf_scene, bsdf_cfg).mean()
     assert abs(mis - bsdf) / bsdf < 0.03, (mis, bsdf)
+
+
+@pytest.mark.parametrize("nx,ny", [(64, 64), (96, 32), (100, 56), (80, 48),
+                                   (50, 40), (1200, 600), (33, 35)])
+def test_decode_tile_pixel_matches_permutation(nx, ny):
+    """decode_tile_pixel is the exact closed form of render.tile_permutation
+    (incl. partial edge tiles) — the analytic claim-pixel decode the
+    work-queue flush uses under cfg.pixel_layout='tile32'."""
+    from rtw_tpu.render import tile_permutation
+    from rtw_tpu.integrator import decode_tile_pixel
+
+    perm = tile_permutation(nx, ny)
+    pos = jnp.arange(nx * ny, dtype=jnp.int32)
+    got = np.asarray(decode_tile_pixel(pos, nx, ny))
+    np.testing.assert_array_equal(got, perm)
+
+
+def test_queue_tile32_layout_bitwise_matches_generic():
+    """The analytic pixel decode changes no estimator bit: same items, same
+    claim order, identical accumulators."""
+    import dataclasses
+    from rtw_tpu.render import tile_permutation
+    from rtw_tpu.integrator import trace_wavefront_queue
+
+    nx, ny = 64, 48
+    scene = rt.build_scene(5, nx, ny)
+    cfg = rt.RenderConfig(nx=nx, ny=ny, spp=3, max_depth=5,
+                          scheduler="queue", seed=4)
+    pix = jnp.asarray(tile_permutation(nx, ny))
+    key = R.base_key(cfg.seed)
+    a, ra, _ = jax.jit(lambda: trace_wavefront_queue(
+        scene, cfg, pix, key, 0, cfg.spp))()
+    cfg32 = dataclasses.replace(cfg, pixel_layout="tile32")
+    b, rb, _ = jax.jit(lambda: trace_wavefront_queue(
+        scene, cfg32, pix, key, 0, cfg.spp))()
+    np.testing.assert_array_equal(np.stack([np.asarray(c) for c in a]),
+                                  np.stack([np.asarray(c) for c in b]))
+    assert float(ra) == float(rb)
