@@ -732,8 +732,7 @@ class _QueueState(NamedTuple):
     sample: Any        # [N] int32: sample index of the lane's current item
     pixel: Any         # [N] int32: pixel id of the lane's current item
     pending: Any       # [N] bool: finished, contribution not yet flushed
-    accum: Any         # [3, N] f32: per-position radiance sums (one packed
-                       # scatter-add per flush instead of three [N] ones)
+    accum: Vec3        # [N] planes: per-position radiance sums
     rays: Any          # scalar f32
     cursor: Any        # scalar int32: next unclaimed item
     thresh: Any        # scalar int32: alive count at the last compaction
@@ -825,7 +824,7 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         sample=s_init,
         pixel=pixel_idx,
         pending=jnp.zeros((n,), bool),
-        accum=jnp.zeros((3, n), jnp.float32),
+        accum=V.zeros(n),
         rays=jnp.zeros((), jnp.float32),
         cursor=jnp.asarray(n, jnp.int32),
         thresh=jnp.asarray(n, jnp.int32),
@@ -841,10 +840,15 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         pend = w.pending
         rad = Vec3(*(jnp.nan_to_num(c, nan=0.0, posinf=0.0, neginf=0.0)
                      for c in w.path.radiance))   # scrub per sample
-        vals = jnp.stack([jnp.where(pend, rad.x, 0.0),
-                          jnp.where(pend, rad.y, 0.0),
-                          jnp.where(pend, rad.z, 0.0)], axis=0)
-        accum = w.accum.at[:, w.item_pos].add(vals)
+        # three 1-D scatter-adds, NOT one packed [3, N] scatter: the packed
+        # form (`accum.at[:, pos].add(vals)`) lowers to a generic windowed
+        # scatter that measured scene 1 17.6 -> 11.9 Mrays/s on chip —
+        # XLA's 1-D scatter-add specialization is the fast path
+        accum = Vec3(
+            w.accum.x.at[w.item_pos].add(jnp.where(pend, rad.x, 0.0)),
+            w.accum.y.at[w.item_pos].add(jnp.where(pend, rad.y, 0.0)),
+            w.accum.z.at[w.item_pos].add(jnp.where(pend, rad.z, 0.0)),
+        )
         fin = pend.astype(jnp.int32)
         rank = jnp.cumsum(fin) - 1
         new_item = w.cursor + rank
@@ -933,4 +937,4 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         return nwf
 
     wf = lax.while_loop(cond, body, wf)
-    return Vec3(wf.accum[0], wf.accum[1], wf.accum[2]), wf.rays, wf.stats
+    return wf.accum, wf.rays, wf.stats
