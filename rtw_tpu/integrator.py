@@ -360,16 +360,20 @@ def _stats_zero(max_depth: int) -> WavefrontStats:
 
 def _stats_update(st: WavefrontStats, alive, depth, it) -> WavefrontStats:
     """Record one wavefront iteration: `alive` lanes about to trace at
-    per-lane bounce `depth`."""
+    per-lane bounce `depth`.
+
+    Streaming form (VERDICT r3 item 10): ONE [N] -> [max_depth] scatter-add
+    replaces the [max_depth, N] one-hot masked reduction that dominated
+    instrumented runs (OCCUPANCY.md footnote: scene 1 read 3.35 vs 17.3+
+    Mrays/s with the old reduction), so occupancy telemetry can stay on in
+    production benches."""
     d_cap = st.rays_by_depth.shape[0]
     a_f = alive.astype(jnp.float32)
     n_alive = jnp.sum(a_f)
-    oh = (jax.lax.broadcasted_iota(jnp.int32, (d_cap, 1), 0)
-          == jnp.minimum(depth, d_cap - 1)[None, :])
-    counts = jnp.sum(jnp.where(oh, a_f[None, :], 0.0), axis=1)
+    di = jnp.minimum(depth, d_cap - 1)
     ti = jnp.minimum(it.astype(jnp.int32), _OCC_TRACE_CAP - 1)
     return WavefrontStats(
-        rays_by_depth=st.rays_by_depth + counts,
+        rays_by_depth=st.rays_by_depth.at[di].add(a_f),
         iters=st.iters + 1.0,
         alive_sum=st.alive_sum + n_alive,
         occ_sum=st.occ_sum.at[ti].add(n_alive),

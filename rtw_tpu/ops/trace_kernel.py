@@ -190,22 +190,106 @@ def _is_dynamic(entry) -> bool:
             and size // block >= 3)
 
 
+# Two-level traversal: dynamic groups with many blocks get their blocks
+# bundled into super-groups of _GROUP consecutive (Morton-ordered, so
+# spatially compact) blocks with merged AABBs; the per-tile walk orders and
+# culls SUPER-groups first and only computes block-level entry distances
+# for supers some lane can still reach.  This bounds the O(B^2 * n) reduce
+# work of the flat walk (fatal by ~10^4-10^5 prims — QUIRKS scale-ceiling
+# analysis) at O(S^2 * n) + O(reached * _GROUP^2 * n).  The reference gets
+# the equivalent from its multi-level BVH (optixAccelBuild GAS/IAS,
+# ioGeometryGroup.h:160-225).
+_GROUP = 16           # blocks per super-group
+# Dynamic groups with >= this many blocks go two-level.  Measured crossover
+# (tools/stress_scale.py, one chip, dense 512^2@4spp field): 4k prims flat
+# 5.17 vs two-level 4.92 Mrays/s; 16k flat 2.11 vs 2.41; 64k flat FAILS TO
+# COMPILE (the [B, n] near-matrix scratch at B=1024 exceeds the 16 MB
+# scoped-VMEM limit) vs two-level 2.45.  128 blocks = 8k prims at the
+# 64-prim block size; every reference scene (<= ~54 blocks/group) keeps
+# its round-3 flat walk bit-for-bit.
+_TWO_LEVEL_MIN = 128
+
+
+def _two_level(entry) -> bool:
+    return _is_dynamic(entry) and (entry[2] // entry[6]) >= _TWO_LEVEL_MIN
+
+
+def _n_supers(entry) -> int:
+    return -(-(entry[2] // entry[6]) // _GROUP)
+
+
+def _super_offsets(chunk_plan) -> dict:
+    """Static row offset of each two-level entry's super-AABB rows inside
+    the augmented AABB table (supers appended after all block rows)."""
+    sid = sum(e[2] // e[6] for e in chunk_plan)
+    out = {}
+    for i, e in enumerate(chunk_plan):
+        if _two_level(e):
+            out[i] = sid
+            sid += _n_supers(e)
+    return out
+
+
+def augment_aabbs(scene: S.Scene):
+    """Block AABBs + appended super-group AABB rows (traced; mirrors the
+    kernel's static _super_offsets layout).  Pad blocks inside a partial
+    super get inverted boxes (lo=BIG, hi=-BIG) — unreachable.  A _GROUP-row
+    guard tail keeps the two-level walk's dynamic _GROUP-row refinement
+    reads in-bounds when a group's last (partial) super slices past its
+    final block row (the overread rows are masked to BIG by valid_row)."""
+    ab = scene.block_aabbs
+    rows = [ab]
+    blk = 0
+    for e in scene.chunk_plan:
+        B = e[2] // e[6]
+        if _two_level(e):
+            Ssup = _n_supers(e)
+            pad = Ssup * _GROUP - B
+            g = ab[blk:blk + B]
+            if pad:
+                inv = jnp.concatenate(
+                    [jnp.full((pad, 3), BIG, jnp.float32),
+                     jnp.full((pad, 3), -BIG, jnp.float32),
+                     jnp.zeros((pad, ab.shape[1] - 6), jnp.float32)], axis=1)
+                g = jnp.concatenate([g, inv], axis=0)
+            g = g.reshape(Ssup, _GROUP, ab.shape[1])
+            sup = jnp.concatenate(
+                [jnp.min(g[:, :, 0:3], axis=1), jnp.max(g[:, :, 3:6], axis=1),
+                 jnp.zeros((Ssup, ab.shape[1] - 6), jnp.float32)], axis=1)
+            rows.append(sup)
+        blk += B
+    if len(rows) == 1:
+        return ab
+    guard = jnp.concatenate(
+        [jnp.full((_GROUP, 3), BIG, jnp.float32),
+         jnp.full((_GROUP, 3), -BIG, jnp.float32),
+         jnp.zeros((_GROUP, ab.shape[1] - 6), jnp.float32)], axis=1)
+    return jnp.concatenate(rows + [guard], axis=0)
+
+
 def _max_dyn_blocks(chunk_plan) -> int:
-    """Rows of the shared near-matrix scratch (>=1 so the alloc is valid)."""
-    return max([e[2] // e[6] for e in chunk_plan if _is_dynamic(e)],
-               default=1)
+    """Rows of the shared near-matrix scratch (>=1 so the alloc is valid).
+    Two-level groups need S super rows + _GROUP refined block rows."""
+    rows = []
+    for e in chunk_plan:
+        if not _is_dynamic(e):
+            continue
+        rows.append(_n_supers(e) + _GROUP if _two_level(e)
+                    else e[2] // e[6])
+    return max(rows, default=1)
 
 
-def _near_matrix(aabb_ref, g_bid: int, B: int, o, d, tmin):
+def _near_matrix(aabb_ref, g_bid, B: int, o, d, tmin):
     """[B, n] per-(block, lane) conservative entry distance: max(near, tmin)
     of the slab test against block AABBs g_bid..g_bid+B, BIG where the lane
     cannot hit the block at all.  One vectorized slab sweep per group — the
-    per-block scalar AABB reads of the static path, batched."""
+    per-block scalar AABB reads of the static path, batched.  `g_bid` may
+    be a traced scalar (the two-level walk refines supers dynamically)."""
     near = jnp.full_like(o.x[None, :] + jnp.zeros((B, 1), jnp.float32), -BIG)
     far = jnp.full_like(near, BIG)
     for ax in range(3):
-        lo = aabb_ref[g_bid:g_bid + B, ax][:, None]
-        hi = aabb_ref[g_bid:g_bid + B, 3 + ax][:, None]
+        lo = aabb_ref[pl.ds(g_bid, B), ax][:, None]
+        hi = aabb_ref[pl.ds(g_bid, B), 3 + ax][:, None]
         dk = d[ax][None, :]
         inv = 1.0 / jnp.where(dk == 0.0, 1e-30, dk)
         t0 = (lo - o[ax][None, :]) * inv
@@ -285,6 +369,130 @@ def _dyn_nearest(entry, g_bid, props_ref, aabb_ref, nm_ref,
         return carry
 
     jax.lax.fori_loop(0, B, body, 0)
+
+
+def _dyn_nearest_2l(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref,
+                    bt_ref, bi_ref, bp_ref, o, d, time, tmax, tmin):
+    """Two-level front-to-back traversal of one large group (see _GROUP):
+    super-groups visited in increasing conservative entry distance for this
+    tile; a super's _GROUP block rows are computed only when some lane's
+    upper bound still undercuts its entry; blocks inside a reached super
+    then run the same near-ordered best-t-cut walk as _dyn_nearest."""
+    start, count, size, ptype, axis, has_xform, block = entry
+    B = size // block
+    Ssup = _n_supers(entry)
+    n = o.x.shape[0]
+    # nm_ref rows [0:S) hold super entries, rows [S:S+_GROUP) the refined
+    # block entries of the super currently being walked
+    nm_ref[0:Ssup, :] = _near_matrix(aabb_ref, g_sid, Ssup, o, d, tmin)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (Ssup, 1), 0)
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, 1), 0)
+
+    def outer(_it, carry):
+        ub = jnp.minimum(bt_ref[0, :], tmax)
+        snm = nm_ref[0:Ssup, :]
+        keys = jnp.min(jnp.where(snm < ub[None, :], snm, BIG),
+                       axis=1, keepdims=True)
+        kmin = jnp.min(keys)
+
+        @pl.when(kmin < BIG)
+        def _():
+            s = jnp.min(jnp.where(keys <= kmin, iota_s, Ssup)).astype(
+                jnp.int32)
+            nm = _near_matrix(aabb_ref, g_bid + s * _GROUP, _GROUP,
+                              o, d, tmin)
+            valid_row = (s * _GROUP + iota_g) < B
+            nm_ref[Ssup:Ssup + _GROUP, :] = jnp.where(valid_row, nm, BIG)
+
+            def inner(_j, c2):
+                ub2 = jnp.minimum(bt_ref[0, :], tmax)
+                bnm = nm_ref[Ssup:Ssup + _GROUP, :]
+                keys2 = jnp.min(jnp.where(bnm < ub2[None, :], bnm, BIG),
+                                axis=1, keepdims=True)
+                kmin2 = jnp.min(keys2)
+
+                @pl.when(kmin2 < BIG)
+                def _():
+                    k = jnp.min(jnp.where(keys2 <= kmin2, iota_g,
+                                          _GROUP)).astype(jnp.int32)
+                    b0 = start + (s * _GROUP + k) * block
+                    t, C = _block_test_dyn(props_ref, entry, b0, o, d,
+                                           tmin, tmax, time)
+                    _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref)
+                    nm_ref[pl.ds(Ssup + k, 1), :] = jnp.full(
+                        (1, n), BIG, jnp.float32)
+
+                return c2
+
+            jax.lax.fori_loop(0, _GROUP, inner, 0)
+            nm_ref[pl.ds(s, 1), :] = jnp.full((1, n), BIG, jnp.float32)
+
+        return carry
+
+    jax.lax.fori_loop(0, Ssup, outer, 0)
+
+
+def _dyn_occl_2l(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref, occ_ref,
+                 o, d, time, tmax, tmin, want):
+    """Any-hit variant of _dyn_nearest_2l: supers/blocks no still-pending
+    lane can reach are skipped; lanes leave `pending` on first hit."""
+    start, count, size, ptype, axis, has_xform, block = entry
+    B = size // block
+    Ssup = _n_supers(entry)
+    n = o.x.shape[0]
+    nm_ref[0:Ssup, :] = _near_matrix(aabb_ref, g_sid, Ssup, o, d, tmin)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (Ssup, 1), 0)
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, 1), 0)
+
+    def pending_ub():
+        pending = occ_ref[0, :] < 0.5
+        if want is not None:
+            pending = pending & want
+        return jnp.where(pending, tmax, -BIG)
+
+    def outer(_it, carry):
+        ub = pending_ub()
+        snm = nm_ref[0:Ssup, :]
+        keys = jnp.min(jnp.where(snm < ub[None, :], snm, BIG),
+                       axis=1, keepdims=True)
+        kmin = jnp.min(keys)
+
+        @pl.when(kmin < BIG)
+        def _():
+            s = jnp.min(jnp.where(keys <= kmin, iota_s, Ssup)).astype(
+                jnp.int32)
+            nm = _near_matrix(aabb_ref, g_bid + s * _GROUP, _GROUP,
+                              o, d, tmin)
+            valid_row = (s * _GROUP + iota_g) < B
+            nm_ref[Ssup:Ssup + _GROUP, :] = jnp.where(valid_row, nm, BIG)
+
+            def inner(_j, c2):
+                ub2 = pending_ub()
+                bnm = nm_ref[Ssup:Ssup + _GROUP, :]
+                keys2 = jnp.min(jnp.where(bnm < ub2[None, :], bnm, BIG),
+                                axis=1, keepdims=True)
+                kmin2 = jnp.min(keys2)
+
+                @pl.when(kmin2 < BIG)
+                def _():
+                    k = jnp.min(jnp.where(keys2 <= kmin2, iota_g,
+                                          _GROUP)).astype(jnp.int32)
+                    b0 = start + (s * _GROUP + k) * block
+                    t, _C = _block_test_dyn(props_ref, entry, b0, o, d,
+                                            tmin, tmax, time)
+                    hit_any = jnp.max((t < BIG).astype(jnp.float32), axis=0)
+                    occ_ref[0, :] = jnp.maximum(occ_ref[0, :], hit_any)
+                    nm_ref[pl.ds(Ssup + k, 1), :] = jnp.full(
+                        (1, n), BIG, jnp.float32)
+
+                return c2
+
+            jax.lax.fori_loop(0, _GROUP, inner, 0)
+            nm_ref[pl.ds(s, 1), :] = jnp.full((1, n), BIG, jnp.float32)
+
+        return carry
+
+    jax.lax.fori_loop(0, Ssup, outer, 0)
 
 
 def _dyn_occl(entry, g_bid, props_ref, aabb_ref, nm_ref, occ_ref,
@@ -400,9 +608,16 @@ def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
     bp_ref[:, :] = jnp.zeros_like(bp_ref)
 
     culls = _use_block_culls(chunk_plan)
+    sup_off = _super_offsets(chunk_plan)
     blk_id = 0
-    for entry in chunk_plan:
+    for ei, entry in enumerate(chunk_plan):
         start, count, size, ptype, axis, has_xform, block = entry
+        if _two_level(entry):
+            _dyn_nearest_2l(entry, blk_id, sup_off[ei], props_ref, aabb_ref,
+                            nm_ref, bt_ref, bi_ref, bp_ref, o, d, time,
+                            tmax, tmin)
+            blk_id += size // block
+            continue
         if _is_dynamic(entry):
             _dyn_nearest(entry, blk_id, props_ref, aabb_ref, nm_ref,
                          bt_ref, bi_ref, bp_ref, o, d, time, tmax, tmin)
@@ -576,7 +791,7 @@ def trace_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time, vol_u):
 
     run = _make_tracer(scene.chunk_plan, scene.vol_slots_static, scene.n_vol,
                        float(tmin), any_xform, n_pad // TILE, props.shape[1])
-    f32, i32 = run(rays, vu, props, scene.block_aabbs)
+    f32, i32 = run(rays, vu, props, augment_aabbs(scene))
     return _unpack_hit(f32, i32, n)
 
 
@@ -616,9 +831,15 @@ def _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref,
     occ_ref[:, :] = jnp.zeros((1, n), jnp.float32)
 
     culls = _use_block_culls(chunk_plan)
+    sup_off = _super_offsets(chunk_plan)
     blk_id = 0
-    for entry in chunk_plan:
+    for ei, entry in enumerate(chunk_plan):
         start, count, size, ptype, axis, has_xform, block = entry
+        if _two_level(entry):
+            _dyn_occl_2l(entry, blk_id, sup_off[ei], props_ref, aabb_ref,
+                         nm_ref, occ_ref, o, d, time, tmax, tmin, want)
+            blk_id += size // block
+            continue
         if _is_dynamic(entry):
             _dyn_occl(entry, blk_id, props_ref, aabb_ref, nm_ref, occ_ref,
                       o, d, time, tmax, tmin, want)
@@ -699,5 +920,5 @@ def occluded_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time,
     props = build_props(scene, any_xform)
     run = _make_occluder(scene.chunk_plan, scene.vol_slots_static,
                          scene.n_vol, float(tmin), any_xform, n_pad // TILE)
-    occ = run(rays, vu, props, scene.block_aabbs)
+    occ = run(rays, vu, props, augment_aabbs(scene))
     return occ[0, :n] > 0.5

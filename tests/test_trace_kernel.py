@@ -134,3 +134,49 @@ def test_kernel_dynamic_traversal_matches_jnp():
                                    np.asarray(b.stack())[hit],
                                    rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ_k))
+
+
+def _huge_prim_scene(n_spheres=2500):
+    """>= _TWO_LEVEL_MIN blocks of one type so the two-level (super-group)
+    front-to-back traversal compiles in, including a partial last super."""
+    from rtw_tpu.models.builder import SceneBuilder
+
+    b = SceneBuilder()
+    rng = np.random.default_rng(5)
+    mat = b.lambertian(b.constant_texture((0.5, 0.5, 0.5)))
+    for _ in range(n_spheres):
+        b.sphere(rng.uniform(-200, 200, 3), rng.uniform(1.0, 5.0), mat)
+    b.set_camera(lookfrom=(0, 0, -500), lookat=(0, 0, 0), vup=(0, 1, 0),
+                 vfov=40.0, aspect=1.0, aperture=0.0, focus_dist=10.0)
+    return b.build()
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_kernel_two_level_traversal_matches_jnp(monkeypatch):
+    # lower the production crossover so interpret mode can afford the scene
+    # (kernel caches key on the chunk plan, which is unique to this scene)
+    monkeypatch.setattr(TK, "_TWO_LEVEL_MIN", 32)
+    scene = _huge_prim_scene()
+    assert any(TK._two_level(e) for e in scene.chunk_plan)
+    # partial last super exercises the pad-row masking
+    assert any((e[2] // e[6]) % TK._GROUP for e in scene.chunk_plan
+               if TK._two_level(e))
+    rng = np.random.default_rng(13)
+    n = TK.TILE
+    o, d = _rand_rays(rng, n, 250.0, (0.0, 0.0, 0.0))
+    tm = jnp.zeros((n,), jnp.float32)
+    vu = jnp.full((1, n), 0.5, jnp.float32)
+
+    h_ref = intersect_scene(scene, o, d, 1e-6, 1e27, tm, vu)
+    with pltpu.force_tpu_interpret_mode():
+        h_k, sh_k = TK.trace_pallas(scene, o, d, 1e-6, 1e27, tm, vu)
+        occ_k = TK.occluded_pallas(scene, o, d, 1e-4, 1e4, tm, vu)
+    occ_ref = occluded(scene, o, d, 1e-4, 1e4, tm, vu)
+
+    np.testing.assert_array_equal(np.asarray(h_ref.prim_idx),
+                                  np.asarray(h_k.prim_idx))
+    hit = np.asarray(h_ref.prim_idx) >= 0
+    assert hit.sum() > 100
+    np.testing.assert_allclose(np.asarray(h_ref.t)[hit],
+                               np.asarray(h_k.t)[hit], rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ_k))
