@@ -339,9 +339,18 @@ _OCC_TRACE_CAP = 512   # iteration-occupancy trace length (per jitted step)
 class WavefrontStats(NamedTuple):
     """Wavefront observability counters (cfg.bounce_stats; SURVEY §5
     'per-bounce wavefront sizes').  All accumulate additively across tiles
-    and spp chunks."""
+    and spp chunks.
 
-    rays_by_depth: Any   # [max_depth] f32: rays traced at each bounce depth
+    `len_hist[L]` counts FINISHED paths of length L bounces (bin 0 unused);
+    the per-depth ray counts the metrics report derive exactly from it:
+    rays_by_depth[d] = sum over L > d of len_hist[L], since a length-L path
+    traced at depths 0..L-1.  Recording lengths at path FINISH (one [N]
+    scatter per queue FLUSH instead of any per-iteration per-depth
+    attribution) is what makes instrumented runs cheap (VERDICT r3 item
+    10): the round-3 [max_depth, N] one-hot reduction read scene 1 at 3.35
+    vs 17.3+ Mrays/s; a per-iteration depth scatter still cost 33%."""
+
+    len_hist: Any        # [max_depth + 1] f32: finished-path length counts
     iters: Any           # scalar f32: wavefront iterations run
     alive_sum: Any       # scalar f32: sum over iterations of alive lanes
     occ_sum: Any         # [CAP] f32: alive lanes at iteration i (summed)
@@ -350,7 +359,7 @@ class WavefrontStats(NamedTuple):
 
 def _stats_zero(max_depth: int) -> WavefrontStats:
     return WavefrontStats(
-        rays_by_depth=jnp.zeros((max_depth,), jnp.float32),
+        len_hist=jnp.zeros((max_depth + 1,), jnp.float32),
         iters=jnp.zeros((), jnp.float32),
         alive_sum=jnp.zeros((), jnp.float32),
         occ_sum=jnp.zeros((_OCC_TRACE_CAP,), jnp.float32),
@@ -358,27 +367,28 @@ def _stats_zero(max_depth: int) -> WavefrontStats:
     )
 
 
-def _stats_update(st: WavefrontStats, alive, depth, it) -> WavefrontStats:
-    """Record one wavefront iteration: `alive` lanes about to trace at
-    per-lane bounce `depth`.
-
-    Streaming form (VERDICT r3 item 10): ONE [N] -> [max_depth] scatter-add
-    replaces the [max_depth, N] one-hot masked reduction that dominated
-    instrumented runs (OCCUPANCY.md footnote: scene 1 read 3.35 vs 17.3+
-    Mrays/s with the old reduction), so occupancy telemetry can stay on in
-    production benches."""
-    d_cap = st.rays_by_depth.shape[0]
+def _stats_update(st: WavefrontStats, alive, it) -> WavefrontStats:
+    """Record one wavefront iteration's occupancy: cheap scalar counters
+    plus one scalar-indexed trace update (path lengths are recorded
+    separately at finish time, _stats_record_lengths)."""
     a_f = alive.astype(jnp.float32)
     n_alive = jnp.sum(a_f)
-    di = jnp.minimum(depth, d_cap - 1)
     ti = jnp.minimum(it.astype(jnp.int32), _OCC_TRACE_CAP - 1)
-    return WavefrontStats(
-        rays_by_depth=st.rays_by_depth.at[di].add(a_f),
+    return st._replace(
         iters=st.iters + 1.0,
         alive_sum=st.alive_sum + n_alive,
         occ_sum=st.occ_sum.at[ti].add(n_alive),
         occ_cnt=st.occ_cnt.at[ti].add(1.0),
     )
+
+
+def _stats_record_lengths(st: WavefrontStats, finished, length,
+                          max_depth: int) -> WavefrontStats:
+    """Add newly finished paths' lengths to the histogram (one [N]
+    scatter-add; masked lanes land in the unused bin 0 with weight 0)."""
+    idx = jnp.where(finished, jnp.minimum(length, max_depth), 0)
+    return st._replace(len_hist=st.len_hist.at[idx].add(
+        finished.astype(jnp.float32)))
 
 
 def _mega_backend(cfg, scene) -> bool:
@@ -646,13 +656,15 @@ def trace_wavefront_regen(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         return jnp.any(wf.path.alive)
 
     def body(wf):
-        stats = (_stats_update(wf.stats, wf.path.alive, wf.depth,
-                               wf.stats.iters)
+        stats = (_stats_update(wf.stats, wf.path.alive, wf.stats.iters)
                  if cfg.bounce_stats else ())
         st = bounce_step(scene, cfg, wf.path_keys, wf.path, wf.depth)
         depth = wf.depth + 1
         # a path is finished when the bounce killed it or it hit max_depth
         finished = wf.path.alive & (~st.alive | (depth >= cfg.max_depth))
+        if cfg.bounce_stats:
+            stats = _stats_record_lengths(stats, finished, depth,
+                                          cfg.max_depth)
 
         # NaN scrub per completed sample (raygen.cu:17-24 removeNaNs), so a
         # single bad sample can't poison the lane's whole accumulator
@@ -842,6 +854,11 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         """Scatter every pending lane's finished sample into its accum
         column and claim it a new item (cursor + rank among pending)."""
         pend = w.pending
+        stats = w.stats
+        if cfg.bounce_stats:
+            # pending lanes' depth froze at their path length (see body)
+            stats = _stats_record_lengths(stats, pend, w.depth,
+                                          cfg.max_depth)
         rad = Vec3(*(jnp.nan_to_num(c, nan=0.0, posinf=0.0, neginf=0.0)
                      for c in w.path.radiance))   # scrub per sample
         # three 1-D scatter-adds, NOT one packed [3, N] scatter: the packed
@@ -889,14 +906,17 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
             pending=jnp.zeros_like(pend),
             accum=accum,
             cursor=w.cursor + jnp.sum(fin),
+            stats=stats,
         )
 
     def body(wf):
-        stats = (_stats_update(wf.stats, wf.path.alive, wf.depth,
-                               wf.stats.iters)
+        stats = (_stats_update(wf.stats, wf.path.alive, wf.stats.iters)
                  if cfg.bounce_stats else ())
         st = bounce_step(scene, cfg, wf.path_keys, wf.path, wf.depth)
-        depth = wf.depth + 1
+        # dead (pending) lanes keep their final depth: at flush time
+        # `depth` IS the finished path's length, so the stats histogram can
+        # record lengths there (once per flush instead of per iteration)
+        depth = jnp.where(wf.path.alive, wf.depth + 1, wf.depth)
         finished = wf.path.alive & (~st.alive | (depth >= cfg.max_depth))
         pending = wf.pending | finished
         running = st.alive & ~finished

@@ -134,29 +134,45 @@ def moving_spheres(aspect: float, dof: str = "reference") -> S.Scene:
     return b.build()
 
 
-def in_one_weekend_light(aspect: float, dof: str = "reference") -> S.Scene:
+def in_one_weekend_light(aspect: float, dof: str = "reference",
+                         light_variant: str = "live") -> S.Scene:
     """Scene 2 (ioScene.h:313-489).
 
     NEE divergence (documented): the reference's PDF-tree rect for this scene
     is {3,5,2.3,6,-2} (ioScene.h:125) while the actual light rect is
     {3,5,1,3,-2} (ioScene.h:351) — its NEE samples points mostly *off* the
     light yet still credits emission.  We sample the true light rect.
+
+    `light_variant="sky_y10"` builds the ALTERNATIVE illumination that is
+    commented out in the reference source (ioScene.h:363-364: an overhead
+    y=10 rect with the dimmer (4,4,4) `light4` emitter, no z=-2 rect) —
+    used only by tools/scene2_archaeology.py to test PARITY.md's hypothesis
+    that the committed reference PNG was rendered from this variant.
     """
     b = SceneBuilder()
     grey = b.constant_texture((0.7, 0.7, 0.7))
     noise1 = b.noise_texture(1.0)
     earth = b.image_texture(EARTHMAP)
-    light16 = b.constant_texture((16.0, 16.0, 16.0))
 
     b.sphere((0.0, -1000.0, 0.0), 1000.0, b.lambertian(noise1))
     b.sphere((-4.0, 1.0, 0.0), 1.0, b.metal(grey, 0.4))
     b.sphere((0.0, 1.0, 0.0), 1.0, b.lambertian(earth))
     b.sphere((4.0, 1.0, 0.0), 1.0, b.dielectric(1.5))
 
-    b.rect(3.0, 5.0, 1.0, 3.0, -2.0, False, S.AXIS_Z, b.diffuse_light(light16))
-    b.add_light(position=(3.0, 1.0, -2.0),
-                vec_u=(2.0, 0.0, 0.0), vec_v=(0.0, 2.0, 0.0),
-                emission=(16.0, 16.0, 16.0), tex=light16)
+    if light_variant == "sky_y10":
+        light4 = b.constant_texture((4.0, 4.0, 4.0))
+        b.rect(-6.0, -1.0, -2.0, 2.0, 10.0, True, S.AXIS_Y,
+               b.diffuse_light(light4))
+        b.add_light(position=(-6.0, 10.0, -2.0),
+                    vec_u=(5.0, 0.0, 0.0), vec_v=(0.0, 0.0, 4.0),
+                    emission=(4.0, 4.0, 4.0), tex=light4)
+    else:
+        light16 = b.constant_texture((16.0, 16.0, 16.0))
+        b.rect(3.0, 5.0, 1.0, 3.0, -2.0, False, S.AXIS_Z,
+               b.diffuse_light(light16))
+        b.add_light(position=(3.0, 1.0, -2.0),
+                    vec_u=(2.0, 0.0, 0.0), vec_v=(0.0, 2.0, 0.0),
+                    emission=(16.0, 16.0, 16.0), tex=light16)
 
     _small_spheres(b, XorShift32(0x6314759), moving=False)
 

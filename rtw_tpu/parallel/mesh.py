@@ -171,10 +171,13 @@ def render_sharded(scene, cfg, mesh: Mesh, key=None, mode: str = "pixels",
                     or s0 - last_ckpt >= checkpoint_every):
                 from rtw_tpu.utils import checkpoint as ckpt
 
+                # _replicated_np is an all-gather: EVERY process must enter
+                # it (only-process-0 participation deadlocks the collective
+                # — found by the preempt-resume test); only process 0 then
+                # touches the filesystem
+                acc_np = _replicated_np(acc, mesh)[:npix]
                 if jax.process_index() == 0:
-                    ckpt.save(checkpoint_path, cfg,
-                              _replicated_np(acc, mesh)[:npix], total_rays,
-                              s0)
+                    ckpt.save(checkpoint_path, cfg, acc_np, total_rays, s0)
                 last_ckpt = s0
         jax.block_until_ready(acc)
         elapsed = _time.perf_counter() - t_start

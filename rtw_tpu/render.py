@@ -167,8 +167,11 @@ def render(scene, cfg, key=None, verbose: bool = False,
             for a in accums[1:]:
                 st = jax.tree_util.tree_map(jnp.add, st, a[2])
             st = jax.tree_util.tree_map(np.asarray, st)
+            # rays_by_depth[d] = paths that traced a ray at depth d
+            #                  = sum over lengths L > d of len_hist[L]
+            tail = np.cumsum(st.len_hist[::-1])[::-1]
             metrics.update(
-                rays_by_depth=[float(x) for x in st.rays_by_depth],
+                rays_by_depth=[float(x) for x in tail[1:]],
                 wavefront_iterations=float(st.iters),
                 # mean alive-lane fraction across all wavefront iterations
                 mean_occupancy=float(st.alive_sum)
