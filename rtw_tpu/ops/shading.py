@@ -46,22 +46,19 @@ def gather_shade(scene: S.Scene, prim_idx, hit_mask) -> ShadeRec:
     )
 
 
-def _procedural_eval(scene: S.Scene, tex_type, scale, image_id, p: Vec3,
-                     u, v, present, tex_filter):
-    """Noise + image texture values for the given lanes (any width)."""
-    n = tex_type.shape[0]
-    out = V.zeros(n)
-    if present[S.TEX_NOISE]:
-        m = 0.5 * (1.0 + jnp.sin(scale * p.z
-                                 + 5.0 * turbulence(scene.textures,
-                                                    p * scale)))
-        out = V.where(tex_type == S.TEX_NOISE, Vec3(m, m, m), out)
-    if present[S.TEX_IMAGE]:
-        fetch = (_image_bilinear_565 if tex_filter == "rgb565"
-                 else _image_bilinear)
-        img = fetch(scene.textures, image_id, u, v)
-        out = V.where(tex_type == S.TEX_IMAGE, img, out)
-    return out
+def _noise_eval(scene: S.Scene, scale, p: Vec3):
+    """Marble value for every lane (hash-gradient Perlin — pure VPU math)."""
+    m = 0.5 * (1.0 + jnp.sin(scale * p.z
+                             + 5.0 * turbulence(scene.textures, p * scale)))
+    return Vec3(m, m, m)
+
+
+def _image_eval(scene: S.Scene, image_id, u, v, tex_filter):
+    """Atlas fetch for every lane (the gathers — ~2.3 ms per 320k lanes
+    each on TPU)."""
+    fetch = (_image_bilinear_565 if tex_filter == "rgb565"
+             else _image_bilinear)
+    return fetch(scene.textures, image_id, u, v)
 
 
 def resolve_albedo(scene: S.Scene, shade: ShadeRec, p: Vec3, u, v,
@@ -89,18 +86,25 @@ def resolve_albedo(scene: S.Scene, shade: ShadeRec, p: Vec3, u, v,
         checker = V.where(sines < 0.0, shade.odd, shade.even)
         albedo = V.where(shade.tex_type == S.TEX_CHECKER, checker, albedo)
 
-    if not (present[S.TEX_NOISE] or present[S.TEX_IMAGE]):
-        return albedo
-
-    need = jnp.zeros((shade.tex_type.shape[0],), bool)
+    # Noise and image textures get SEPARATE lax.cond gates: a bounce whose
+    # winners include marble lanes but no image lanes (common on TNW — the
+    # earth sphere is one small object) pays the VPU-only Perlin math but
+    # skips the two per-lane atlas gathers entirely, and vice versa.
     if present[S.TEX_NOISE]:
-        need = need | (shade.tex_type == S.TEX_NOISE)
+        need_n = shade.tex_type == S.TEX_NOISE
+
+        def _noise(a):
+            return V.where(need_n, _noise_eval(scene, shade.scale, p), a)
+
+        albedo = lax.cond(jnp.any(need_n), _noise, lambda a: a, albedo)
+
     if present[S.TEX_IMAGE]:
-        need = need | (shade.tex_type == S.TEX_IMAGE)
+        need_i = shade.tex_type == S.TEX_IMAGE
 
-    def _full(albedo):
-        val = _procedural_eval(scene, shade.tex_type, shade.scale,
-                               shade.image_id, p, u, v, present, tex_filter)
-        return V.where(need, val, albedo)
+        def _image(a):
+            return V.where(need_i, _image_eval(scene, shade.image_id, u, v,
+                                               tex_filter), a)
 
-    return lax.cond(jnp.any(need), _full, lambda a: a, albedo)
+        albedo = lax.cond(jnp.any(need_i), _image, lambda a: a, albedo)
+
+    return albedo
