@@ -3,7 +3,6 @@ Director.cpp:1010-1031) and PNG via PIL."""
 
 from __future__ import annotations
 
-import io
 import sys
 
 import numpy as np

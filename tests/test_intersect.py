@@ -221,3 +221,46 @@ def test_box_prim_equals_six_rects():
         np.testing.assert_allclose(np.asarray(a.stack())[hit_a],
                                    np.asarray(b.stack())[hit_a],
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("sid", [0, 3, 4])
+def test_reeval_hit_matches_intersect_scene(sid):
+    """reeval_hit (the fast gradient path's differentiable winner-payload
+    re-derivation) must reproduce intersect_scene's full hit record when
+    fed the sweep's own winners — transforms, boxes, volumes, moving
+    spheres included."""
+    import rtw_tpu as rt
+    from rtw_tpu.ops.intersect import intersect_scene, reeval_hit
+    from rtw_tpu.ops.vec import v3
+
+    scene = rt.build_scene(sid, 64, 64)
+    rng = np.random.default_rng(21)
+    n = 4096
+    scale, shift = ((600.0, (278.0, 278.0, -400.0)) if sid in (0, 3, 4)
+                    else (4.0, (0.0, 1.0, 1.0)))
+    o = v3(jnp.asarray(rng.uniform(-1, 1, (n, 3)) * scale + shift,
+                       jnp.float32))
+    d = v3(jnp.asarray(rng.normal(size=(n, 3)), jnp.float32))
+    tm = jnp.zeros((n,), jnp.float32)
+    vu = jnp.asarray(rng.uniform(0.05, 0.95, (max(scene.n_vol, 1), n)),
+                     jnp.float32)
+
+    h = intersect_scene(scene, o, d, 1e-6, 1e27, tm, vu)
+    h2 = reeval_hit(scene, h.prim_idx, o, d, 1e-6, 1e27, tm, vu,
+                    t_hint=h.t)
+    hit = np.asarray(h.prim_idx) >= 0
+    assert hit.sum() > 200
+    np.testing.assert_array_equal(np.asarray(h2.prim_idx),
+                                  np.asarray(h.prim_idx))
+    np.testing.assert_array_equal(np.asarray(h2.mat_id), np.asarray(h.mat_id))
+    np.testing.assert_allclose(np.asarray(h2.t)[hit], np.asarray(h.t)[hit],
+                               rtol=1e-5)
+    # atol 5e-3: scene scales reach ~1000s of units, and a grazing hit's
+    # elementwise-recomputed t (same math, different association) can move
+    # the point by |t_diff|*|d| — observed max 0.0026 on one TNW lane
+    for a, b in [(h.point, h2.point), (h.normal, h2.normal)]:
+        np.testing.assert_allclose(np.asarray(b.stack())[hit],
+                                   np.asarray(a.stack())[hit],
+                                   rtol=1e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(h2.u)[hit], np.asarray(h.u)[hit],
+                               atol=1e-3)
