@@ -112,6 +112,30 @@ def _rect_corners_world(p: "_Prim") -> Optional[np.ndarray]:
     return corners
 
 
+def _quad_square_overlap(a: np.ndarray, b: np.ndarray,
+                         eps: float = 1e-3) -> bool:
+    """Whether the convex quad with in-plane corner coords (a[i], b[i])
+    (corner order of _rect_corners_world: (a0,b0),(a1,b0),(a0,b1),(a1,b1))
+    overlaps the INTERIOR of the unit square by more than `eps`, via the
+    separating-axis test.  Boundary-touching (adjacent coplanar lights)
+    and diagonally-offset rotated quads both report False."""
+    quad = np.stack([a, b], axis=1)[[0, 1, 3, 2]]      # winding order
+    sq = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    for poly in (quad, sq):
+        for i in range(4):
+            e = poly[(i + 1) % 4] - poly[i]
+            nrm = np.array([-e[1], e[0]])
+            ln = float(np.hypot(*nrm))
+            if ln < 1e-12:
+                continue
+            nrm = nrm / ln
+            p = quad @ nrm
+            q = sq @ nrm
+            if p.max() <= q.min() + eps or q.max() <= p.min() + eps:
+                return False
+    return True
+
+
 def _match_lights_to_prims(prims: list["_Prim"], mat_type: list[int],
                            lights: list[dict]) -> list[int]:
     """Per-prim light row (-1 if none): which Lights row each emissive rect
@@ -162,13 +186,12 @@ def _match_lights_to_prims(prims: list["_Prim"], mat_type: list[int],
                         break
                     # coplanar but straddling the light's boundary: no
                     # light_row assignment is unbiased (see docstring).
-                    # INTERIOR overlap only — an adjacent prim (realizing a
-                    # different coplanar light) legitimately touches this
-                    # light's boundary.
-                    overlaps = ((a.min() < 1 - 1e-3) and (a.max() > 1e-3)
-                                and (bb.min() < 1 - 1e-3)
-                                and (bb.max() > 1e-3))
-                    if overlaps:
+                    # True convex-polygon INTERIOR overlap (separating-axis
+                    # test, not a corner bounding box — a rotated coplanar
+                    # rect diagonally off the light's corner must NOT be
+                    # rejected); an adjacent prim touching the boundary
+                    # overlaps by <= eps and passes.
+                    if _quad_square_overlap(a, bb):
                         raise ValueError(
                             f"emissive prim {pi} partially overlaps "
                             f"registered light {li} (in-plane coords a="

@@ -44,9 +44,10 @@ from rtw_tpu.ops import bounce as BC
 from rtw_tpu.ops import sampling as sm
 from rtw_tpu.ops import vec as V
 from rtw_tpu.ops.vec import Vec3
+from rtw_tpu.ops import trace_kernel as _tk
 from rtw_tpu.ops.trace_kernel import (
     BIG, TILE, _MAT, _FUZZ, _ETA, _TEXT, _RGB, _ODD, _EVEN,
-    _max_dyn_blocks, _nearest_hit, _occl_sweep, build_props)
+    _max_dyn_blocks, _nearest_hit, _occl_sweep, augment_aabbs, build_props)
 from rtw_tpu.utils import rng as R
 
 # --- carry layout ----------------------------------------------------------
@@ -323,7 +324,8 @@ def _mega_body(chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
 def _make_mega(chunk_plan, vol_slots, n_vol, any_xform, nx, ny,
                mat_present, tex_present, num_lights, mis_bsdf_weight,
                tmin, t_max, shadow_eps, rr_start, max_depth,
-               n_tiles, kdim):
+               n_tiles, kdim, two_level_min):
+    del two_level_min   # cache-key only (see trace_kernel._make_tracer)
     nv = max(n_vol, 1)
     kern = functools.partial(
         _mega_body, chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
@@ -413,5 +415,9 @@ def mega_step(scene: S.Scene, cfg, sf, si, parf, pari):
                      scene.mat_present, scene.tex_present, scene.num_lights,
                      cfg.mis_bsdf_weight, float(cfg.t_min), float(cfg.t_max),
                      float(cfg.shadow_eps), int(cfg.rr_start_depth),
-                     int(cfg.max_depth), n // TILE, props.shape[1])
-    return run(sf, si, props, scene.block_aabbs, parf, pari)
+                     int(cfg.max_depth), n // TILE, props.shape[1],
+                     _tk._TWO_LEVEL_MIN)
+    # augment_aabbs: identical to scene.block_aabbs unless the plan has
+    # two-level groups (forced backend="mega" on an >=8k-prim scene) — the
+    # in-kernel dispatch then needs the appended super-AABB rows
+    return run(sf, si, props, augment_aabbs(scene), parf, pari)

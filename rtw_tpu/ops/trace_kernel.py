@@ -330,58 +330,53 @@ def _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax, time):
     return jnp.where(valid, t, BIG), C
 
 
-def _dyn_nearest(entry, g_bid, props_ref, aabb_ref, nm_ref,
-                 bt_ref, bi_ref, bp_ref, o, d, time, tmax, tmin):
-    """Front-to-back traversal of one group's blocks for this ray tile.
+def _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, o, d, tmin,
+                ub_fn, visit_fn):
+    """Front-to-back walk over one dynamic group's blocks for this ray
+    tile — the ONE definition of the traversal order/culling, shared by
+    the nearest-hit and any-hit sweeps (they differ only in the per-lane
+    upper bound `ub_fn()` and the per-block action `visit_fn(b0)`).
 
-    The tile-level analog of BVH ordered traversal: blocks are visited in
-    increasing conservative entry distance *for this tile's rays*, and a
-    block is tested only while some lane's entry distance still undercuts
-    that lane's current upper bound min(best_t, tmax) — so once the near
-    geometry resolves the tile, the far blocks are never touched.  The
-    reference gets this from optixTraverse's hardware BVH walk per ray
-    (ioGeometryGroup.h:160-225 builds the structure); lockstep tiles can't
-    afford per-ray walks (measured, docs/QUIRKS.md), but tile-coherent rays
-    (render.tile_permutation) make the tile-granular walk fire almost as
-    often."""
+    Groups below _TWO_LEVEL_MIN blocks order all B blocks directly by
+    conservative entry distance with a per-lane upper-bound cut (the
+    tile-level analog of ordered BVH traversal; the reference gets this
+    from optixTraverse's hardware walk, ioGeometryGroup.h:160-225).
+    Larger groups go two-level: _GROUP-block super-AABBs (rows at `g_sid`
+    in aabb_ref, see augment_aabbs) are ordered and culled first, and a
+    super's block rows are computed only while some lane's bound still
+    undercuts its entry — this bounds the flat walk's O(B^2 * lanes)
+    reduce work (fatal by ~10^4-10^5 prims) at O(S^2) + O(reached *
+    _GROUP^2)."""
     start, count, size, ptype, axis, has_xform, block = entry
     B = size // block
     n = o.x.shape[0]
-    nm_ref[0:B, :] = _near_matrix(aabb_ref, g_bid, B, o, d, tmin)
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
-    def body(_it, carry):
-        ub = jnp.minimum(bt_ref[0, :], tmax)                 # [n]
-        nm = nm_ref[0:B, :]
-        keys = jnp.min(jnp.where(nm < ub[None, :], nm, BIG),
-                       axis=1, keepdims=True)                # [B, 1]
-        kmin = jnp.min(keys)
+    def keys_of(lo, rows, ub):
+        nm = nm_ref[lo:lo + rows, :]
+        return jnp.min(jnp.where(nm < ub[None, :], nm, BIG),
+                       axis=1, keepdims=True)
 
-        @pl.when(kmin < BIG)
-        def _():
-            k = jnp.min(jnp.where(keys <= kmin, iota_b, B)).astype(jnp.int32)
-            b0 = start + k * block
-            t, C = _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax,
-                                   time)
-            _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref)
-            nm_ref[pl.ds(k, 1), :] = jnp.full((1, n), BIG, jnp.float32)
+    if not _two_level(entry):
+        nm_ref[0:B, :] = _near_matrix(aabb_ref, g_bid, B, o, d, tmin)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
-        return carry
+        def body(_it, carry):
+            keys = keys_of(0, B, ub_fn())
+            kmin = jnp.min(keys)
 
-    jax.lax.fori_loop(0, B, body, 0)
+            @pl.when(kmin < BIG)
+            def _():
+                k = jnp.min(jnp.where(keys <= kmin, iota_b, B)).astype(
+                    jnp.int32)
+                visit_fn(start + k * block)
+                nm_ref[pl.ds(k, 1), :] = jnp.full((1, n), BIG, jnp.float32)
 
+            return carry
 
-def _dyn_nearest_2l(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref,
-                    bt_ref, bi_ref, bp_ref, o, d, time, tmax, tmin):
-    """Two-level front-to-back traversal of one large group (see _GROUP):
-    super-groups visited in increasing conservative entry distance for this
-    tile; a super's _GROUP block rows are computed only when some lane's
-    upper bound still undercuts its entry; blocks inside a reached super
-    then run the same near-ordered best-t-cut walk as _dyn_nearest."""
-    start, count, size, ptype, axis, has_xform, block = entry
-    B = size // block
+        jax.lax.fori_loop(0, B, body, 0)
+        return
+
     Ssup = _n_supers(entry)
-    n = o.x.shape[0]
     # nm_ref rows [0:S) hold super entries, rows [S:S+_GROUP) the refined
     # block entries of the super currently being walked
     nm_ref[0:Ssup, :] = _near_matrix(aabb_ref, g_sid, Ssup, o, d, tmin)
@@ -389,10 +384,7 @@ def _dyn_nearest_2l(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref,
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, 1), 0)
 
     def outer(_it, carry):
-        ub = jnp.minimum(bt_ref[0, :], tmax)
-        snm = nm_ref[0:Ssup, :]
-        keys = jnp.min(jnp.where(snm < ub[None, :], snm, BIG),
-                       axis=1, keepdims=True)
+        keys = keys_of(0, Ssup, ub_fn())
         kmin = jnp.min(keys)
 
         @pl.when(kmin < BIG)
@@ -405,20 +397,14 @@ def _dyn_nearest_2l(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref,
             nm_ref[Ssup:Ssup + _GROUP, :] = jnp.where(valid_row, nm, BIG)
 
             def inner(_j, c2):
-                ub2 = jnp.minimum(bt_ref[0, :], tmax)
-                bnm = nm_ref[Ssup:Ssup + _GROUP, :]
-                keys2 = jnp.min(jnp.where(bnm < ub2[None, :], bnm, BIG),
-                                axis=1, keepdims=True)
+                keys2 = keys_of(Ssup, _GROUP, ub_fn())
                 kmin2 = jnp.min(keys2)
 
                 @pl.when(kmin2 < BIG)
                 def _():
                     k = jnp.min(jnp.where(keys2 <= kmin2, iota_g,
                                           _GROUP)).astype(jnp.int32)
-                    b0 = start + (s * _GROUP + k) * block
-                    t, C = _block_test_dyn(props_ref, entry, b0, o, d,
-                                           tmin, tmax, time)
-                    _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref)
+                    visit_fn(start + (s * _GROUP + k) * block)
                     nm_ref[pl.ds(Ssup + k, 1), :] = jnp.full(
                         (1, n), BIG, jnp.float32)
 
@@ -432,103 +418,41 @@ def _dyn_nearest_2l(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref,
     jax.lax.fori_loop(0, Ssup, outer, 0)
 
 
-def _dyn_occl_2l(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref, occ_ref,
-                 o, d, time, tmax, tmin, want):
-    """Any-hit variant of _dyn_nearest_2l: supers/blocks no still-pending
-    lane can reach are skipped; lanes leave `pending` on first hit."""
-    start, count, size, ptype, axis, has_xform, block = entry
-    B = size // block
-    Ssup = _n_supers(entry)
-    n = o.x.shape[0]
-    nm_ref[0:Ssup, :] = _near_matrix(aabb_ref, g_sid, Ssup, o, d, tmin)
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (Ssup, 1), 0)
-    iota_g = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, 1), 0)
+def _dyn_nearest(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref,
+                 bt_ref, bi_ref, bp_ref, o, d, time, tmax, tmin):
+    """Nearest-hit walk of one dynamic group (see _walk_group)."""
+    def ub_fn():
+        return jnp.minimum(bt_ref[0, :], tmax)
 
-    def pending_ub():
+    def visit(b0):
+        t, C = _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax, time)
+        _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref)
+
+    _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, o, d, tmin,
+                ub_fn, visit)
+
+
+def _dyn_occl(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref, occ_ref,
+              o, d, time, tmax, tmin, want):
+    """Any-hit walk of one dynamic group (see _walk_group): near-ordered
+    (closer blocks occlude with higher probability), lanes leave the
+    `pending` set on first hit, and blocks/supers no pending lane can
+    reach are never tested."""
+    def ub_fn():
         pending = occ_ref[0, :] < 0.5
         if want is not None:
             pending = pending & want
         return jnp.where(pending, tmax, -BIG)
 
-    def outer(_it, carry):
-        ub = pending_ub()
-        snm = nm_ref[0:Ssup, :]
-        keys = jnp.min(jnp.where(snm < ub[None, :], snm, BIG),
-                       axis=1, keepdims=True)
-        kmin = jnp.min(keys)
+    def visit(b0):
+        t, _C = _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax,
+                                time)
+        hit_any = jnp.max((t < BIG).astype(jnp.float32), axis=0)
+        occ_ref[0, :] = jnp.maximum(occ_ref[0, :], hit_any)
 
-        @pl.when(kmin < BIG)
-        def _():
-            s = jnp.min(jnp.where(keys <= kmin, iota_s, Ssup)).astype(
-                jnp.int32)
-            nm = _near_matrix(aabb_ref, g_bid + s * _GROUP, _GROUP,
-                              o, d, tmin)
-            valid_row = (s * _GROUP + iota_g) < B
-            nm_ref[Ssup:Ssup + _GROUP, :] = jnp.where(valid_row, nm, BIG)
+    _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, o, d, tmin,
+                ub_fn, visit)
 
-            def inner(_j, c2):
-                ub2 = pending_ub()
-                bnm = nm_ref[Ssup:Ssup + _GROUP, :]
-                keys2 = jnp.min(jnp.where(bnm < ub2[None, :], bnm, BIG),
-                                axis=1, keepdims=True)
-                kmin2 = jnp.min(keys2)
-
-                @pl.when(kmin2 < BIG)
-                def _():
-                    k = jnp.min(jnp.where(keys2 <= kmin2, iota_g,
-                                          _GROUP)).astype(jnp.int32)
-                    b0 = start + (s * _GROUP + k) * block
-                    t, _C = _block_test_dyn(props_ref, entry, b0, o, d,
-                                            tmin, tmax, time)
-                    hit_any = jnp.max((t < BIG).astype(jnp.float32), axis=0)
-                    occ_ref[0, :] = jnp.maximum(occ_ref[0, :], hit_any)
-                    nm_ref[pl.ds(Ssup + k, 1), :] = jnp.full(
-                        (1, n), BIG, jnp.float32)
-
-                return c2
-
-            jax.lax.fori_loop(0, _GROUP, inner, 0)
-            nm_ref[pl.ds(s, 1), :] = jnp.full((1, n), BIG, jnp.float32)
-
-        return carry
-
-    jax.lax.fori_loop(0, Ssup, outer, 0)
-
-
-def _dyn_occl(entry, g_bid, props_ref, aabb_ref, nm_ref, occ_ref,
-              o, d, time, tmax, tmin, want):
-    """Any-hit variant of _dyn_nearest: near-ordered (closer blocks occlude
-    with higher probability), lanes leave the `pending` set on first hit, and
-    blocks no pending lane can reach are never tested."""
-    start, count, size, ptype, axis, has_xform, block = entry
-    B = size // block
-    n = o.x.shape[0]
-    nm_ref[0:B, :] = _near_matrix(aabb_ref, g_bid, B, o, d, tmin)
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-
-    def body(_it, carry):
-        pending = occ_ref[0, :] < 0.5
-        if want is not None:
-            pending = pending & want
-        ub = jnp.where(pending, tmax, -BIG)
-        nm = nm_ref[0:B, :]
-        keys = jnp.min(jnp.where(nm < ub[None, :], nm, BIG),
-                       axis=1, keepdims=True)
-        kmin = jnp.min(keys)
-
-        @pl.when(kmin < BIG)
-        def _():
-            k = jnp.min(jnp.where(keys <= kmin, iota_b, B)).astype(jnp.int32)
-            b0 = start + k * block
-            t, _C = _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax,
-                                    time)
-            hit_any = jnp.max((t < BIG).astype(jnp.float32), axis=0)
-            occ_ref[0, :] = jnp.maximum(occ_ref[0, :], hit_any)
-            nm_ref[pl.ds(k, 1), :] = jnp.full((1, n), BIG, jnp.float32)
-
-        return carry
-
-    jax.lax.fori_loop(0, B, body, 0)
 
 
 def _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref):
@@ -612,15 +536,10 @@ def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
     blk_id = 0
     for ei, entry in enumerate(chunk_plan):
         start, count, size, ptype, axis, has_xform, block = entry
-        if _two_level(entry):
-            _dyn_nearest_2l(entry, blk_id, sup_off[ei], props_ref, aabb_ref,
-                            nm_ref, bt_ref, bi_ref, bp_ref, o, d, time,
-                            tmax, tmin)
-            blk_id += size // block
-            continue
         if _is_dynamic(entry):
-            _dyn_nearest(entry, blk_id, props_ref, aabb_ref, nm_ref,
-                         bt_ref, bi_ref, bp_ref, o, d, time, tmax, tmin)
+            _dyn_nearest(entry, blk_id, sup_off.get(ei), props_ref,
+                         aabb_ref, nm_ref, bt_ref, bi_ref, bp_ref,
+                         o, d, time, tmax, tmin)
             blk_id += size // block
             continue
         for b0 in range(start, start + size, block):
@@ -726,7 +645,12 @@ def _plan_key(scene: S.Scene):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_tracer(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles, kdim):
+def _make_tracer(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles,
+                 kdim, two_level_min):
+    # two_level_min is in the cache key so mutating the module global
+    # (tools/stress_scale.py --flat, test monkeypatches) can never pair a
+    # cached kernel with an AABB table built under a different setting
+    del two_level_min          # read via the global at trace time
     kern = functools.partial(_kernel_body, chunk_plan, vol_slots,
                              any_xform, n_vol, tmin)
     grid_spec = pl.GridSpec(
@@ -790,7 +714,8 @@ def trace_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time, vol_u):
     props = build_props(scene, any_xform)
 
     run = _make_tracer(scene.chunk_plan, scene.vol_slots_static, scene.n_vol,
-                       float(tmin), any_xform, n_pad // TILE, props.shape[1])
+                       float(tmin), any_xform, n_pad // TILE, props.shape[1],
+                       _TWO_LEVEL_MIN)
     f32, i32 = run(rays, vu, props, augment_aabbs(scene))
     return _unpack_hit(f32, i32, n)
 
@@ -835,14 +760,9 @@ def _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref,
     blk_id = 0
     for ei, entry in enumerate(chunk_plan):
         start, count, size, ptype, axis, has_xform, block = entry
-        if _two_level(entry):
-            _dyn_occl_2l(entry, blk_id, sup_off[ei], props_ref, aabb_ref,
-                         nm_ref, occ_ref, o, d, time, tmax, tmin, want)
-            blk_id += size // block
-            continue
         if _is_dynamic(entry):
-            _dyn_occl(entry, blk_id, props_ref, aabb_ref, nm_ref, occ_ref,
-                      o, d, time, tmax, tmin, want)
+            _dyn_occl(entry, blk_id, sup_off.get(ei), props_ref, aabb_ref,
+                      nm_ref, occ_ref, o, d, time, tmax, tmin, want)
             blk_id += size // block
             continue
         for b0 in range(start, start + size, block):
@@ -878,7 +798,9 @@ def _occl_body(chunk_plan, vol_slots, n_vol, tmin, rays_ref, vu_ref,
 
 
 @functools.lru_cache(maxsize=64)
-def _make_occluder(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles):
+def _make_occluder(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles,
+                   two_level_min):
+    del two_level_min          # cache-key only (see _make_tracer)
     kern = functools.partial(_occl_body, chunk_plan, vol_slots, n_vol, tmin)
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
@@ -919,6 +841,7 @@ def occluded_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time,
     vu = _pad_tile(vol_u, n_pad)
     props = build_props(scene, any_xform)
     run = _make_occluder(scene.chunk_plan, scene.vol_slots_static,
-                         scene.n_vol, float(tmin), any_xform, n_pad // TILE)
+                         scene.n_vol, float(tmin), any_xform, n_pad // TILE,
+                         _TWO_LEVEL_MIN)
     occ = run(rays, vu, props, augment_aabbs(scene))
     return occ[0, :n] > 0.5

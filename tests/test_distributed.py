@@ -109,7 +109,7 @@ def test_preempt_resume_bitexact():
             break   # finished before we could preempt (or died) — handled below
         time.sleep(0.05)
     preempted = False
-    if any(p.poll() is None for p in procs):
+    if procs[1].poll() is None:
         procs[1].send_signal(signal.SIGKILL)
         preempted = True
     for p in procs:

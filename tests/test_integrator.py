@@ -366,3 +366,49 @@ def test_queue_tile32_layout_bitwise_matches_generic():
     np.testing.assert_array_equal(np.stack([np.asarray(c) for c in a]),
                                   np.stack([np.asarray(c) for c in b]))
     assert float(ra) == float(rb)
+
+
+def test_light_matcher_overlap_semantics():
+    """_quad_square_overlap is a true convex-polygon test: containment and
+    straddling overlap; disjoint, edge-adjacent, and rotated-diagonal
+    (bbox-overlapping but polygon-disjoint) do not."""
+    from rtw_tpu.models.builder import _quad_square_overlap
+
+    sq = lambda a0, a1, b0, b1: (np.array([a0, a1, a0, a1], float),
+                                 np.array([b0, b0, b1, b1], float))
+    assert _quad_square_overlap(*sq(0.2, 0.8, 0.2, 0.8))      # contained
+    assert _quad_square_overlap(*sq(0.5, 1.5, 0.5, 1.5))      # straddles
+    assert not _quad_square_overlap(*sq(2.0, 3.0, 0.0, 1.0))  # disjoint
+    assert not _quad_square_overlap(*sq(1.0, 2.0, 0.0, 1.0))  # edge-adjacent
+    # diamond centered (1.4, 1.4): corner bbox reaches into the unit square
+    # but the rotated polygon itself is disjoint — must NOT overlap
+    a = np.array([0.9, 1.4, 1.4, 1.9])
+    b = np.array([1.4, 0.9, 1.9, 1.4])
+    assert not _quad_square_overlap(a, b)
+
+
+def test_builder_light_diagnostics():
+    """Partial-overlap emissive prims error at build; zero-match lights
+    warn (ADVICE r3 items 1-2)."""
+    import warnings
+
+    def base(light_rect):
+        b = SceneBuilder()
+        white = b.lambertian(b.constant_texture((0.7, 0.7, 0.7)))
+        b.rect(0, 10, 0, 10, 0.0, False, S.AXIS_Y, white)
+        em = b.diffuse_light(b.constant_texture((4.0, 4.0, 4.0)))
+        b.rect(*light_rect, 5.0, True, S.AXIS_Y, em)
+        b.add_light(position=(0.0, 5.0, 0.0), vec_u=(2.0, 0.0, 0.0),
+                    vec_v=(0.0, 0.0, 2.0), emission=(4.0, 4.0, 4.0))
+        b.set_camera((5, 1, 5), (5, 0, 5), (1, 0, 0), 60, 1.0, 0.0, 1.0)
+        return b
+
+    # prim [1, 3]x[0, 2] half-in half-out of the light [0, 2]x[0, 2]
+    with pytest.raises(ValueError, match="partially overlaps"):
+        base((1.0, 3.0, 0.0, 2.0)).build()
+
+    # prim fully elsewhere: the registered light matches nothing -> warn
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        base((6.0, 8.0, 6.0, 8.0)).build()
+    assert any("matched no emissive primitive" in str(x.message) for x in w)

@@ -236,8 +236,7 @@ def test_reeval_hit_matches_intersect_scene(sid):
     scene = rt.build_scene(sid, 64, 64)
     rng = np.random.default_rng(21)
     n = 4096
-    scale, shift = ((600.0, (278.0, 278.0, -400.0)) if sid in (0, 3, 4)
-                    else (4.0, (0.0, 1.0, 1.0)))
+    scale, shift = 600.0, (278.0, 278.0, -400.0)   # Cornell/TNW framing
     o = v3(jnp.asarray(rng.uniform(-1, 1, (n, 3)) * scale + shift,
                        jnp.float32))
     d = v3(jnp.asarray(rng.normal(size=(n, 3)), jnp.float32))

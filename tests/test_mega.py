@@ -80,3 +80,31 @@ def test_mega_backend_gating():
         trace_wavefront(s0, dataclasses.replace(cfg, backend="mega",
                                                 scheduler="queue"),
                         jnp.arange(64, dtype=jnp.int32), R.base_key(0), 0, 1)
+
+
+def test_mega_step_on_two_level_scene(monkeypatch):
+    """Forced backend='mega' on a scene whose plan has two-level groups
+    must not read past the AABB table: mega_step now passes the augmented
+    (super-row) table like the split kernels do (round-4 review finding —
+    previously an out-of-bounds read deep in Pallas)."""
+    from rtw_tpu.ops import mega_kernel as MK
+    from rtw_tpu.ops import trace_kernel as TK
+    from tests.test_trace_kernel import _huge_prim_scene
+
+    monkeypatch.setattr(TK, "_TWO_LEVEL_MIN", 32)
+    scene = _huge_prim_scene(2500)
+    assert any(TK._two_level(e) for e in scene.chunk_plan)
+    cfg = rt.RenderConfig(nx=32, ny=32, spp=1, max_depth=2, backend="mega")
+    key = R.base_key(0)
+
+    n = MK.TILE
+    sf = jnp.zeros((MK.NF, n), jnp.float32).at[MK.F_PPDF, :].set(1.0)
+    si = jnp.zeros((MK.NI, n), jnp.int32)
+    si = si.at[MK.I_PIXEL, :].set(jnp.arange(n, dtype=jnp.int32)
+                                  % cfg.num_pixels)
+    parf, pari = MK.mega_params(scene, key, cfg)
+    pari = pari.at[0, MK.PI_SEND].set(1)
+    with pltpu.force_tpu_interpret_mode():
+        sf2, si2, rays = MK.mega_step(scene, cfg, sf, si, parf, pari)
+    assert np.isfinite(np.asarray(sf2)).all()
+    assert float(jnp.sum(rays)) > 0
