@@ -17,7 +17,8 @@ from rtw_tpu.models import scene as S
 from rtw_tpu.ops import vec as V
 from rtw_tpu.ops.vec import Vec3
 from rtw_tpu.ops.trace_kernel import ShadeRec
-from rtw_tpu.ops.textures import _image_bilinear, _image_bilinear_565, turbulence
+from rtw_tpu.ops.textures import (_image_bilinear, _image_bilinear_565,
+                                  _image_nearest_565, turbulence)
 
 
 def gather_shade(scene: S.Scene, prim_idx, hit_mask) -> ShadeRec:
@@ -55,9 +56,10 @@ def _noise_eval(scene: S.Scene, scale, p: Vec3):
 
 def _image_eval(scene: S.Scene, image_id, u, v, tex_filter):
     """Atlas fetch for every lane (the gathers — ~2.3 ms per 320k lanes
-    each on TPU)."""
-    fetch = (_image_bilinear_565 if tex_filter == "rgb565"
-             else _image_bilinear)
+    each on TPU; 1/2/4 of them by cfg.tex_filter)."""
+    fetch = {"rgb565": _image_bilinear_565,
+             "nearest565": _image_nearest_565}.get(tex_filter,
+                                                   _image_bilinear)
     return fetch(scene.textures, image_id, u, v)
 
 

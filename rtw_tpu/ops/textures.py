@@ -194,6 +194,28 @@ def _image_bilinear_565(tex: S.Textures, image_id, u, v) -> Vec3:
     return cx0 + (cx1 - cx0) * fy
 
 
+def _image_nearest_565(tex: S.Textures, image_id, u, v) -> Vec3:
+    """Nearest-texel fetch from the RGB565 pair atlas: ONE flat gather per
+    fetch (vs 2 bilinear-565 / 4 bilinear-rgb8).  Gathers are the dominant
+    image-texture cost on TPU (~2.3 ms per 320k lanes each), so this is
+    the documented quality-for-speed end of the cfg.tex_filter ladder:
+    565 quantization plus point sampling."""
+    h_i, w_i, off = _image_geometry(tex, image_id)
+    xi = jnp.clip((u * w_i.astype(jnp.float32)).astype(jnp.int32),
+                  0, w_i - 1)
+    yi = jnp.clip((v * h_i.astype(jnp.float32)).astype(jnp.int32),
+                  0, h_i - 1)
+    bits = tex.images_packed565[off + yi * w_i + xi]   # one 1-D gather
+    half = bits & np.uint32(0xFFFF)                    # texel xi is the low word
+    return Vec3(
+        ((half >> np.uint32(11)) & np.uint32(31)).astype(jnp.float32)
+        * np.float32(1.0 / 31.0),
+        ((half >> np.uint32(5)) & np.uint32(63)).astype(jnp.float32)
+        * np.float32(1.0 / 63.0),
+        (half & np.uint32(31)).astype(jnp.float32) * np.float32(1.0 / 31.0),
+    )
+
+
 def _eval_leaf(tex: S.Textures, tex_id, u, v, p: Vec3, present) -> Vec3:
     """Evaluate non-checker textures for per-lane ids. [N] -> Vec3 of [N].
 

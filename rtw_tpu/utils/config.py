@@ -53,11 +53,14 @@ class RenderConfig:
     backend: str = "auto"
 
     # Image-texture filtering ----------------------------------------------
-    # "rgb565": bilinear from the RGB565 pair atlas — 2 flat gathers per
-    #           fetch (gathers dominate image-texture cost on TPU), ~1.5%
-    #           color quantization.
-    # "rgb8":   exact 8-bit bilinear, 4 gathers (the reference's
-    #           cudaTextureObject_t semantics, ioTexture.h:293-311).
+    # "rgb565":     bilinear from the RGB565 pair atlas — 2 flat gathers
+    #               per fetch (gathers dominate image-texture cost on TPU),
+    #               ~1.5% color quantization.  Default.
+    # "rgb8":       exact 8-bit bilinear, 4 gathers (the reference's
+    #               cudaTextureObject_t semantics, ioTexture.h:293-311).
+    # "nearest565": point-sampled 565, ONE gather — the speed end of the
+    #               ladder for gather-bound scenes (measured deltas in
+    #               docs/ROADMAP.md "Scene-4 headroom").
     tex_filter: str = "rgb565"
 
     # Wavefront scheduler ----------------------------------------------------

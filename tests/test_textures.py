@@ -144,3 +144,26 @@ def test_bilinear_565_matches_rgb8():
     # 5-bit channels quantize at 1/62 half-step; allow 2 half-steps for the
     # bilinear mix of 4 taps
     assert np.abs(a - b).max() <= 2.0 / 62.0 + 1e-6
+
+
+def test_nearest565_close_to_bilinear():
+    """cfg.tex_filter='nearest565' (one-gather point sampling) must agree
+    with the bilinear 565 fetch at texel centers and stay close elsewhere
+    (it is a documented quality-for-speed knob, not a different texture)."""
+    import rtw_tpu as rt
+    from rtw_tpu.ops.textures import _image_bilinear_565, _image_nearest_565
+
+    scene = rt.build_scene(2, 32, 32)   # earth image atlas
+    tex = scene.textures
+    rng = np.random.default_rng(3)
+    n = 4096
+    u = jnp.asarray(rng.uniform(0.02, 0.98, n), jnp.float32)
+    v = jnp.asarray(rng.uniform(0.02, 0.98, n), jnp.float32)
+    ids = jnp.zeros((n,), jnp.int32)
+    a = np.asarray(_image_bilinear_565(tex, ids, u, v).stack())
+    b = np.asarray(_image_nearest_565(tex, ids, u, v).stack())
+    assert np.isfinite(b).all()
+    # same image content: mean agrees tightly, pointwise within one texel's
+    # neighborhood contrast
+    assert abs(a.mean() - b.mean()) < 0.01
+    assert np.abs(a - b).mean() < 0.08
