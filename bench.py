@@ -10,9 +10,9 @@ recorded first-round figure below; 1.0 = parity with round 1's first build.
 Rays counted = every traversal query actually issued (camera + bounce +
 NEE shadow rays), the same accounting OptiX applications use.  Wall time
 excludes compilation (the warm-up run is a full render with the IDENTICAL
-config, so every per-chunk step graph — 800x800 auto-resolves to 400-spp
-chunks under the 256M-path target — is compiled before timing) and
-includes device sync.
+config, so every per-chunk step graph — without checkpointing the whole
+1000 spp auto-resolves to ONE chunk, the measured-fastest shape — is
+compiled before timing) and includes device sync.
 """
 
 import json

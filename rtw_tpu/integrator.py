@@ -159,6 +159,45 @@ def _light_pdf_at(scene: S.Scene, origin: Vec3, point: Vec3, dir_unit: Vec3,
     return jnp.where(sel, pdf, 0.0)
 
 
+def _light_pdf_dir(scene: S.Scene, origin: Vec3, dir_unit: Vec3, mask):
+    """(1/L) * sum over lights of the solid-angle pdf of direction
+    `dir_unit` from `origin` hitting that light — the books'
+    hittable_pdf::value (a geometric parallelogram intersection, NO scene
+    occlusion), needed by the book-mixture estimator's mixture pdf.
+    Lights are a static, small table, so this is L unrolled scalar-
+    broadcast plane tests (no gathers)."""
+    lights = scene.lights
+    L = scene.num_lights
+    total = jnp.zeros_like(origin.x)
+    for li in range(L):
+        q = V.v3(lights.position[li])
+        eu = V.v3(lights.vec_u[li])
+        ev = V.v3(lights.vec_v[li])
+        ln = V.v3(lights.normal[li])
+        area = lights.area[li]
+        denom = dir_unit.dot(ln)
+        ok = jnp.abs(denom) > 1e-8
+        denom_s = jnp.where(ok, denom, 1.0)
+        t = (q - origin).dot(ln) / denom_s
+        ok = ok & (t > 1e-4)
+        p = origin + dir_unit * t
+        w = p - q
+        uu = eu.dot(eu)
+        vv = ev.dot(ev)
+        uv = eu.dot(ev)
+        det = uu * vv - uv * uv
+        wu = w.dot(eu)
+        wv = w.dot(ev)
+        a = (wu * vv - wv * uv) / det
+        b = (wv * uu - wu * uv) / det
+        ok = ok & (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
+        pdf_l = jnp.where(ok & mask,
+                          t * t / (area * jnp.maximum(jnp.abs(denom), 1e-8)),
+                          0.0)
+        total = total + pdf_l
+    return total / np.float32(max(L, 1))
+
+
 def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     """One wavefront bounce: trace, shade, NEE, RR.  Returns new state."""
     nv = max(scene.n_vol, 1)
@@ -208,7 +247,7 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     # albedo resolution (textures) stays outside the shared core: the
     # procedural/atlas texture machinery is executor-specific
     albedo = resolve_albedo(scene, shade, hit.point, hit.u, hit.v,
-                            cfg.tex_filter)
+                            cfg.tex_filter, cfg.tex_tile_gate)
 
     env = BounceEnv(
         mat_present=scene.mat_present,
@@ -222,6 +261,8 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
         pick_light=functools.partial(_pick_light, scene),
         occlude=functools.partial(_occlude, scene, cfg, use_pallas,
                                   state.time, occ_u),
+        estimator=cfg.estimator,
+        light_pdf_dir=functools.partial(_light_pdf_dir, scene),
     )
     res = bounce_core(env, U, bounce, state.alive, o, d, state.time,
                       state.throughput, state.radiance, state.prev_pdf,
@@ -406,6 +447,7 @@ def _mega_backend(cfg, scene) -> bool:
     n_prims = sum(e[1] for e in scene.chunk_plan)
     return (not cfg.differentiable and not cfg.bounce_stats
             and cfg.rng == "fast" and scene.num_lights <= 1
+            and cfg.estimator == "mis"
             and not scene.emissives_unregistered
             and not scene.tex_present[S.TEX_NOISE]
             and not scene.tex_present[S.TEX_IMAGE]
@@ -441,6 +483,9 @@ def _validate_mega(cfg, scene):
     if cfg.rng != "fast":
         problems.append(f"rng={cfg.rng!r} (only 'fast' is replicated "
                         "in-kernel)")
+    if cfg.estimator != "mis":
+        problems.append(f"estimator={cfg.estimator!r} (only the NEE+MIS "
+                        "estimator is implemented in-kernel)")
     if scene.num_lights > 1:
         problems.append(f"num_lights={scene.num_lights} (kernel NEE is "
                         "single-light)")
@@ -544,6 +589,10 @@ def trace_wavefront(scene: S.Scene, cfg, pixel_idx, key, s0: int,
             return trace_wavefront_mega(scene, cfg, pixel_idx, key, s0,
                                         n_samples)
         sched = "queue" if _pallas_backend(cfg, scene) else "regen"
+    if sched == "qmega":
+        _validate_mega(cfg, scene)   # same in-kernel feature envelope
+        return trace_wavefront_qmega(scene, cfg, pixel_idx, key, s0,
+                                     n_samples)
     if sched == "mega":
         _validate_mega(cfg, scene)   # fail loudly outside the envelope
         return trace_wavefront_mega(scene, cfg, pixel_idx, key, s0,
@@ -600,6 +649,162 @@ def trace_wavefront_mega(scene: S.Scene, cfg, pixel_idx, key, s0: int,
     accum = Vec3(sf[MK.F_ACC, :n], sf[MK.F_ACC + 1, :n],
                  sf[MK.F_ACC + 2, :n])
     return accum, rays, ()
+
+
+def _qmega_backend(cfg, scene) -> bool:
+    """The HYBRID scheduler (queue claims in XLA + the whole bounce in one
+    Pallas launch, ops/mega_kernel hybrid mode) is OPT-IN ONLY
+    (cfg.scheduler="qmega"), never auto-selected: the round-4-projected
+    ~+25% did NOT materialize on chip.  Measured round 5, scene 1
+    800x400@16spp best-of-3: queue 23.7 (tile 2048) vs hybrid 22.2 (tile
+    1024) / 21.0 (tile 2048) Mrays/s — at >= ~700 prims the fused body's
+    in-kernel walk + shading schedules worse than the split trace/occl
+    launches, and the XLA glue the fusion removes (~1.7 of 17 ms/iter on
+    TNW, ROADMAP "Scene-4 headroom") is smaller than that scheduling
+    loss — the same shape as the round-3 fused trace+NEE -8% result.
+    Kept as an executor because it is the right base for future VMEM-
+    resident-carry experiments and is equivalence-tested
+    (tests/test_mega.py::test_qmega_matches_queue)."""
+    if cfg.scheduler == "qmega":
+        _validate_mega(cfg, scene)
+        return True
+    return False
+
+
+def trace_wavefront_qmega(scene: S.Scene, cfg, pixel_idx, key, s0: int,
+                          n_samples: int):
+    """Work-queue wavefront with the whole bounce fused into ONE Pallas
+    launch (ops/mega_kernel hybrid mode) — the round-4-projected hybrid:
+    the kernel advances every path (trace + shade + NEE occlusion + RR)
+    on VMEM-resident tiles, while work claiming, sample scatter and
+    camera-ray generation stay in XLA behind the same deferred-flush
+    policy as trace_wavefront_queue.  Identical logical samples to the
+    queue scheduler (same (pixel, sample)-keyed draws; bounce uniforms
+    drawn in-kernel bit-exactly, camera uniforms in XLA); per-item sums
+    follow claim order exactly like the queue."""
+    from rtw_tpu.ops import mega_kernel as MK
+
+    n = pixel_idx.shape[0]
+    n_items = n * n_samples
+    tile = MK.hybrid_tile(scene)
+    n_pad = -(-n // tile) * tile
+    pixel_p = (jnp.concatenate([pixel_idx,
+                                jnp.zeros((n_pad - n,), jnp.int32)])
+               if n_pad != n else pixel_idx)
+
+    s_init = jnp.full((n_pad,), s0, jnp.int32)
+    path_keys = R.make_path_keys(key, pixel_p, s_init, cfg.rng)
+    path = generate_camera_rays(scene, cfg, pixel_p, path_keys)
+
+    sf = jnp.stack([
+        path.origin.x, path.origin.y, path.origin.z,
+        path.direction.x, path.direction.y, path.direction.z,
+        path.throughput.x, path.throughput.y, path.throughput.z,
+        path.radiance.x, path.radiance.y, path.radiance.z,
+        jnp.zeros((n_pad,), jnp.float32), jnp.zeros((n_pad,), jnp.float32),
+        jnp.zeros((n_pad,), jnp.float32),           # F_ACC (unused)
+        path.time,
+        path.prev_pdf,
+    ])
+    real = jnp.arange(n_pad, dtype=jnp.int32) < n
+    si = jnp.stack([
+        real.astype(jnp.int32),                     # I_ALIVE (pad lanes dead)
+        jnp.zeros((n_pad,), jnp.int32),             # I_PREVD
+        jnp.zeros((n_pad,), jnp.int32),             # I_DEPTH
+        s_init,                                     # I_SAMPLE
+        pixel_p,                                    # I_PIXEL
+    ])
+    parf, pari = MK.mega_params(scene, key, cfg)
+
+    item_pos0 = jnp.where(real, jnp.arange(n_pad, dtype=jnp.int32), 0)
+    carry0 = (sf, si,
+              jnp.zeros((n_pad,), bool),            # pending
+              item_pos0,
+              V.zeros(n_pad),                       # accum (positional)
+              jnp.zeros((), jnp.float32),           # rays
+              jnp.asarray(n, jnp.int32))            # cursor
+
+    def cond(c):
+        sf, si, pend, pos, accum, rays, cursor = c
+        return jnp.any(si[MK.I_ALIVE] > 0) | jnp.any(pend)
+
+    def flush(c):
+        sf, si, pend, pos, accum, rays, cursor = c
+        rad = Vec3(*(jnp.nan_to_num(sf[MK.F_RAD + k], nan=0.0, posinf=0.0,
+                                    neginf=0.0) for k in range(3)))
+        accum = Vec3(
+            accum.x.at[pos].add(jnp.where(pend, rad.x, 0.0)),
+            accum.y.at[pos].add(jnp.where(pend, rad.y, 0.0)),
+            accum.z.at[pos].add(jnp.where(pend, rad.z, 0.0)),
+        )
+        fin = pend.astype(jnp.int32)
+        rank = jnp.cumsum(fin) - 1
+        new_item = cursor + rank
+        have = pend & (new_item < n_items)
+        q = new_item // n
+        pos = jnp.where(have, new_item - q * n, pos)
+        sample = jnp.where(have, s0 + q, si[MK.I_SAMPLE])
+        if cfg.pixel_layout == "tile32":
+            pixel = jnp.where(have, decode_tile_pixel(pos, cfg.nx, cfg.ny),
+                              si[MK.I_PIXEL])
+        else:
+            pixel = jnp.where(have, pixel_p[jnp.minimum(pos, n - 1)],
+                              si[MK.I_PIXEL])
+        new_keys = R.make_path_keys(key, pixel, sample, cfg.rng)
+        fresh = generate_camera_rays(scene, cfg, pixel, new_keys)
+
+        def mixf(row, new):
+            return jnp.where(have, new, row)
+
+        sf = sf.at[MK.F_ORG].set(mixf(sf[MK.F_ORG], fresh.origin.x))
+        sf = sf.at[MK.F_ORG + 1].set(mixf(sf[MK.F_ORG + 1], fresh.origin.y))
+        sf = sf.at[MK.F_ORG + 2].set(mixf(sf[MK.F_ORG + 2], fresh.origin.z))
+        sf = sf.at[MK.F_DIR].set(mixf(sf[MK.F_DIR], fresh.direction.x))
+        sf = sf.at[MK.F_DIR + 1].set(mixf(sf[MK.F_DIR + 1],
+                                          fresh.direction.y))
+        sf = sf.at[MK.F_DIR + 2].set(mixf(sf[MK.F_DIR + 2],
+                                          fresh.direction.z))
+        sf = sf.at[MK.F_THR].set(jnp.where(have, 1.0, sf[MK.F_THR]))
+        sf = sf.at[MK.F_THR + 1].set(jnp.where(have, 1.0, sf[MK.F_THR + 1]))
+        sf = sf.at[MK.F_THR + 2].set(jnp.where(have, 1.0, sf[MK.F_THR + 2]))
+        # radiance resets for EVERY pending lane (its sample was banked),
+        # not only claimed ones — unclaimed pending lanes stay dead with
+        # zero radiance so a later spurious flush can't double-count
+        for k in range(3):
+            sf = sf.at[MK.F_RAD + k].set(
+                jnp.where(pend, 0.0, sf[MK.F_RAD + k]))
+        sf = sf.at[MK.F_TIME].set(mixf(sf[MK.F_TIME], fresh.time))
+        sf = sf.at[MK.F_PPDF].set(jnp.where(have, 1.0, sf[MK.F_PPDF]))
+
+        si = si.at[MK.I_ALIVE].set(
+            jnp.where(have, 1, si[MK.I_ALIVE]))
+        si = si.at[MK.I_PREVD].set(jnp.where(have, 0, si[MK.I_PREVD]))
+        si = si.at[MK.I_DEPTH].set(jnp.where(have, 0, si[MK.I_DEPTH]))
+        si = si.at[MK.I_SAMPLE].set(sample)
+        si = si.at[MK.I_PIXEL].set(pixel)
+        return (sf, si, jnp.zeros_like(pend), pos, accum, rays,
+                cursor + jnp.sum(fin))
+
+    def body(c):
+        sf, si, pend, pos, accum, rays, cursor = c
+        prev_alive = si[MK.I_ALIVE] > 0
+        sf2, si2, r = MK.mega_step(scene, cfg, sf, si, parf, pari,
+                                   hybrid=True)
+        alive2 = si2[MK.I_ALIVE] > 0
+        pend2 = pend | (prev_alive & ~alive2)
+        c2 = (sf2, si2, pend2, pos, accum, rays + jnp.sum(r), cursor)
+
+        fd = _resolved_flush_denom(cfg)
+        if fd <= 0:
+            return flush(c2)
+        n_pend = jnp.sum(pend2.astype(jnp.int32))
+        n_run = jnp.sum(alive2.astype(jnp.int32))
+        do_flush = (n_pend * fd >= n_pad) | ((n_run == 0) & (n_pend > 0))
+        return lax.cond(do_flush, flush, lambda x: x, c2)
+
+    c = lax.while_loop(cond, body, carry0)
+    accum = c[4]
+    return Vec3(accum.x[:n], accum.y[:n], accum.z[:n]), c[5], ()
 
 
 def trace_wavefront_regen(scene: S.Scene, cfg, pixel_idx, key, s0: int,

@@ -68,6 +68,14 @@ class BounceEnv(NamedTuple):
     pick_light: Optional[Callable[..., Any]]
     # (shadow_org Vec3, ldir_u Vec3, occ_tmax, want) -> occluded bool plane
     occlude: Optional[Callable[..., Any]]
+    # Estimator family (config.RenderConfig.estimator): "mis" (NEE+MIS,
+    # default) or "book" (the books' literal 0.5/0.5 cosine/light mixture).
+    estimator: str = "mis"
+    # (origin Vec3, dir_unit Vec3, mask) -> (1/L) * sum_l pdf_l(dir): the
+    # mixture's light-pdf of an ARBITRARY direction (geometric ray-vs-light
+    # test, no scene occlusion) — the books' hittable_pdf::value.  Only
+    # consulted when estimator == "book".
+    light_pdf_dir: Optional[Callable[..., Any]] = None
 
 
 class BounceResult(NamedTuple):
@@ -129,7 +137,35 @@ def bounce_core(env: BounceEnv, U, depth, alive, o: Vec3, d: Vec3,
     terminate = false_n
 
     # ----- lambertian: cosine-hemisphere scatter (lambertianMaterial.cu) --
-    if mp[S.MAT_LAMBERTIAN]:
+    book = env.estimator == "book" and env.num_lights > 0
+    if mp[S.MAT_LAMBERTIAN] and book:
+        # The books' mixture estimator (RTW book 3 ch. 10 / the reference's
+        # intended mixturePdf.cu:10-37): draw the NEXT ray itself from
+        # 0.5 * cosine + 0.5 * light-area sampling and weight the diffuse
+        # reflectance by scattering_pdf / mixture_pdf.  No shadow rays, no
+        # MIS — light transport arrives only through actual light hits.
+        ou, ov, ow = sm.build_onb(nrm)
+        local = sm.cosine_direction(U[R.U_SCATTER_0], U[R.U_SCATTER_1])
+        cos_dir = sm.onb_local(ou, ov, ow, local).normalized()
+        lpos, _la, _ln, _le = env.pick_light(
+            U[R.U_LIGHT_SELECT], U[R.U_LIGHT_A], U[R.U_LIGHT_B])
+        ldir = lpos - point
+        ldist = ldir.length()
+        ldir_u = ldir * (1.0 / jnp.maximum(ldist, 1e-12))
+        take_light = U[R.U_DIELECTRIC] < 0.5     # slot unused by lambertian
+        lamb_dir = V.where(take_light, ldir_u, cos_dir)
+        cos_pdf = jnp.maximum(nrm.dot(lamb_dir), 0.0) * sm.INV_PI
+        lgt_pdf = env.light_pdf_dir(point, lamb_dir, hit_alive & is_lamb)
+        lamb_pdf = 0.5 * cos_pdf + 0.5 * lgt_pdf
+        # scattering_pdf == cos_pdf for lambertian; a zero of either kills
+        # the contribution (the books multiply the recursion by 0)
+        lamb_cancel = (lamb_pdf <= 0.0) | (cos_pdf <= 0.0)
+        pdf_safe = jnp.where(lamb_cancel, 1.0, lamb_pdf)
+        w_mix = jnp.where(lamb_cancel, 0.0, cos_pdf / pdf_safe)
+        attenuation = V.where(is_lamb, albedo * w_mix, attenuation)
+        scatter_dir = V.where(is_lamb, lamb_dir, scatter_dir)
+        cancel = cancel | (is_lamb & lamb_cancel)
+    elif mp[S.MAT_LAMBERTIAN]:
         ou, ov, ow = sm.build_onb(nrm)
         local = sm.cosine_direction(U[R.U_SCATTER_0], U[R.U_SCATTER_1])
         lamb_dir = sm.onb_local(ou, ov, ow, local).normalized()
@@ -179,7 +215,7 @@ def bounce_core(env: BounceEnv, U, depth, alive, o: Vec3, d: Vec3,
     if mp[S.MAT_DIFFUSE_LIGHT]:
         facing = nrm.dot(d_unit) < 0.0
         emitted = V.where(facing, albedo, zero3)
-        if env.mis_bsdf_weight and env.num_lights > 0:
+        if env.mis_bsdf_weight and env.num_lights > 0 and not book:
             w_mask = hit_alive & is_light & prev_diffuse
             lp = env.light_pdf_at(o, point, d_unit, prim_idx, w_mask)
             prev_safe = jnp.where(w_mask, prev_pdf, 1.0)
@@ -202,8 +238,9 @@ def bounce_core(env: BounceEnv, U, depth, alive, o: Vec3, d: Vec3,
 
     terminate = terminate | cancel
 
-    # ----- next-event estimation (closehit.cu:70-118) ---------------------
-    if env.num_lights > 0 and mp[S.MAT_LAMBERTIAN]:
+    # ----- next-event estimation (closehit.cu:70-118); the book-mixture
+    # estimator has no shadow rays — light sampling IS the scatter ---------
+    if env.num_lights > 0 and mp[S.MAT_LAMBERTIAN] and not book:
         lpos, l_area, l_nrm, l_emission = env.pick_light(
             U[R.U_LIGHT_SELECT], U[R.U_LIGHT_A], U[R.U_LIGHT_B])
         ldir = lpos - point

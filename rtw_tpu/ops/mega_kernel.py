@@ -152,10 +152,10 @@ def _sv(ref, base):
 
 def _mega_body(chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
                mat_present, tex_present, num_lights, mis_bsdf_weight,
-               tmin, t_max, shadow_eps, rr_start, max_depth,
+               tmin, t_max, shadow_eps, rr_start, max_depth, hybrid,
                sf_ref, si_ref, props_ref, aabb_ref, parf_ref, pari_ref,
                osf_ref, osi_ref, rays_ref,
-               bt_ref, bi_ref, bp_ref, nm_ref, occ_ref, vu_ref):
+               bt_ref, bi_ref, bp_ref, nm_ref, kb_ref, occ_ref, vu_ref):
     n = sf_ref.shape[1]
     nv = max(n_vol, 1)
     zero = jnp.zeros((n,), jnp.float32)
@@ -183,36 +183,40 @@ def _mega_body(chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
     pk = _pcg(_pcg(h0 + _u32(sample)) + _u32(pixel))
 
     # ---- regeneration (trace_wavefront_regen body, fresh-path branch) ----
-    regen = (~alive) & (sample < s_end)
-    x_pix = (pixel % nx).astype(jnp.float32)
-    y_pix = (pixel // nx).astype(jnp.float32)
-    cu0 = _camera_u(pk, 0)
-    cu1 = _camera_u(pk, 1)
-    cu2 = _camera_u(pk, 2)
-    cu3 = _camera_u(pk, 3)
-    cu4 = _camera_u(pk, 4)
-    s_img = (x_pix + cu0) * np.float32(1.0 / nx)
-    t_img = (y_pix + cu1) * np.float32(1.0 / ny)
-    cam_o = _sv(parf_ref, PF_CAM_ORG)
-    rdx, rdy = sm.unit_disk(cu2, cu3)
-    lens = parf_ref[0, PF_LENS]
-    forg = (cam_o + _sv(parf_ref, PF_CU) * (lens * rdx)
-            + _sv(parf_ref, PF_CV) * (lens * rdy))
-    fdir = (_sv(parf_ref, PF_LL) + _sv(parf_ref, PF_HOR) * s_img
-            + _sv(parf_ref, PF_VERT) * t_img - forg)
-    ftime = parf_ref[0, PF_T0] + cu4 * (parf_ref[0, PF_T1]
-                                        - parf_ref[0, PF_T0])
+    # The HYBRID (queue-scheduled) variant skips this block entirely: work
+    # claiming and camera-ray generation happen in the XLA flush
+    # (integrator.trace_wavefront_qmega) — the kernel only advances paths.
+    if not hybrid:
+        regen = (~alive) & (sample < s_end)
+        x_pix = (pixel % nx).astype(jnp.float32)
+        y_pix = (pixel // nx).astype(jnp.float32)
+        cu0 = _camera_u(pk, 0)
+        cu1 = _camera_u(pk, 1)
+        cu2 = _camera_u(pk, 2)
+        cu3 = _camera_u(pk, 3)
+        cu4 = _camera_u(pk, 4)
+        s_img = (x_pix + cu0) * np.float32(1.0 / nx)
+        t_img = (y_pix + cu1) * np.float32(1.0 / ny)
+        cam_o = _sv(parf_ref, PF_CAM_ORG)
+        rdx, rdy = sm.unit_disk(cu2, cu3)
+        lens = parf_ref[0, PF_LENS]
+        forg = (cam_o + _sv(parf_ref, PF_CU) * (lens * rdx)
+                + _sv(parf_ref, PF_CV) * (lens * rdy))
+        fdir = (_sv(parf_ref, PF_LL) + _sv(parf_ref, PF_HOR) * s_img
+                + _sv(parf_ref, PF_VERT) * t_img - forg)
+        ftime = parf_ref[0, PF_T0] + cu4 * (parf_ref[0, PF_T1]
+                                            - parf_ref[0, PF_T0])
 
-    org = V.where(regen, forg, org)
-    dirn = V.where(regen, fdir, dirn)
-    thr = V.where(regen, Vec3(ones, ones, ones), thr)
-    rad = V.where(regen, Vec3(zero, zero, zero), rad)
-    time = jnp.where(regen, ftime, time)
-    prev_pdf = jnp.where(regen, 1.0, prev_pdf)
-    prev_diffuse = prev_diffuse & ~regen   # (a bool-scalar jnp.where hits
-    # an unsupported i8->i1 truncation in Mosaic)
-    depth = jnp.where(regen, 0, depth)
-    alive = alive | regen
+        org = V.where(regen, forg, org)
+        dirn = V.where(regen, fdir, dirn)
+        thr = V.where(regen, Vec3(ones, ones, ones), thr)
+        rad = V.where(regen, Vec3(zero, zero, zero), rad)
+        time = jnp.where(regen, ftime, time)
+        prev_pdf = jnp.where(regen, 1.0, prev_pdf)
+        prev_diffuse = prev_diffuse & ~regen   # (a bool-scalar jnp.where
+        # hits an unsupported i8->i1 truncation in Mosaic)
+        depth = jnp.where(regen, 0, depth)
+        alive = alive | regen
 
     # ---- bounce uniforms (bit-exact fast-RNG slots) ----------------------
     d1 = depth + 1
@@ -227,7 +231,8 @@ def _mega_body(chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
     tmax_lane = jnp.where(alive, np.float32(t_max), np.float32(-BIG))
     res = _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
                        org, dirn, time, tmax_lane, vu_ref, 0,
-                       props_ref, aabb_ref, bt_ref, bi_ref, bp_ref, nm_ref)
+                       props_ref, aabb_ref, bt_ref, bi_ref, bp_ref, nm_ref,
+                       kb_ref)
     best_t, best_i, bp, point, normal, uu, vv = res
     miss = best_i < 0
 
@@ -263,7 +268,7 @@ def _mega_body(chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
     def occlude(shadow_org, ldir_u, occ_tmax, want):
         _occl_sweep(chunk_plan, vol_slots, shadow_eps, shadow_org, ldir_u,
                     time, occ_tmax, vu_ref, nv, props_ref, aabb_ref,
-                    occ_ref, nm_ref, want=want)
+                    occ_ref, nm_ref, kb_ref, want=want)
         return occ_ref[0, :] > 0.5
 
     env = BC.BounceEnv(
@@ -287,12 +292,21 @@ def _mega_body(chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
     rays_count = res.rays_lane
 
     # ---- finish / accumulate (trace_wavefront_regen semantics) -----------
-    depth = depth + 1
-    finished = alive & (~still | (depth >= max_depth))
-    rad_s = Vec3(_scrub(rad.x), _scrub(rad.y), _scrub(rad.z))
-    acc = V.where(finished, acc + rad_s, acc)
-    sample = jnp.where(finished, sample + 1, sample)
-    alive_out = still & ~finished
+    if hybrid:
+        # queue semantics (trace_wavefront_queue body): freeze dead lanes'
+        # depth (it records the finished path's length), leave radiance /
+        # accumulation / sample cursor to the XLA flush — pending lanes
+        # are derived there as prev_alive & ~alive_out
+        depth = jnp.where(alive, depth + 1, depth)
+        finished = alive & (~still | (depth >= max_depth))
+        alive_out = still & ~finished
+    else:
+        depth = depth + 1
+        finished = alive & (~still | (depth >= max_depth))
+        rad_s = Vec3(_scrub(rad.x), _scrub(rad.y), _scrub(rad.z))
+        acc = V.where(finished, acc + rad_s, acc)
+        sample = jnp.where(finished, sample + 1, sample)
+        alive_out = still & ~finished
 
     # ---- store -----------------------------------------------------------
     osf_ref[F_ORG, :] = org.x
@@ -324,19 +338,19 @@ def _mega_body(chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
 def _make_mega(chunk_plan, vol_slots, n_vol, any_xform, nx, ny,
                mat_present, tex_present, num_lights, mis_bsdf_weight,
                tmin, t_max, shadow_eps, rr_start, max_depth,
-               n_tiles, kdim, two_level_min):
+               n_tiles, kdim, two_level_min, hybrid=False, tile=TILE):
     del two_level_min   # cache-key only (see trace_kernel._make_tracer)
     nv = max(n_vol, 1)
     kern = functools.partial(
         _mega_body, chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
         mat_present, tex_present, num_lights, mis_bsdf_weight,
-        tmin, t_max, shadow_eps, rr_start, max_depth)
+        tmin, t_max, shadow_eps, rr_start, max_depth, hybrid)
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((NF, TILE), lambda i: (0, i),
+            pl.BlockSpec((NF, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NI, TILE), lambda i: (0, i),
+            pl.BlockSpec((NI, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # props
             pl.BlockSpec(memory_space=pltpu.VMEM),   # block AABBs
@@ -344,21 +358,23 @@ def _make_mega(chunk_plan, vol_slots, n_vol, any_xform, nx, ny,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # i32 params
         ],
         out_specs=(
-            pl.BlockSpec((NF, TILE), lambda i: (0, i),
+            pl.BlockSpec((NF, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NI, TILE), lambda i: (0, i),
+            pl.BlockSpec((NI, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, TILE), jnp.float32),     # best t
-            pltpu.VMEM((1, TILE), jnp.int32),       # best prim
-            pltpu.VMEM((kdim, TILE), jnp.float32),  # best props
-            pltpu.VMEM((_max_dyn_blocks(chunk_plan), TILE),
+            pltpu.VMEM((1, tile), jnp.float32),     # best t
+            pltpu.VMEM((1, tile), jnp.int32),       # best prim
+            pltpu.VMEM((kdim, tile), jnp.float32),  # best props
+            pltpu.VMEM((_max_dyn_blocks(chunk_plan), tile),
                        jnp.float32),                # near matrix
-            pltpu.VMEM((1, TILE), jnp.float32),     # occluded
-            pltpu.VMEM((2 * nv, TILE), jnp.float32),  # volume uniforms
+            pltpu.VMEM((_max_dyn_blocks(chunk_plan), 1),
+                       jnp.float32),                # walk key column
+            pltpu.VMEM((1, tile), jnp.float32),     # occluded
+            pltpu.VMEM((2 * nv, tile), jnp.float32),  # volume uniforms
         ],
     )
 
@@ -405,18 +421,34 @@ def mega_params(scene: S.Scene, key, cfg):
     return parf, pari
 
 
-def mega_step(scene: S.Scene, cfg, sf, si, parf, pari):
-    """One whole wavefront iteration.  Returns (sf', si', rays [1, n])."""
+def hybrid_tile(scene: S.Scene) -> int:
+    """Ray-tile size of the HYBRID kernel: follows the split kernels'
+    per-scene choice (trace_kernel._pick_tile — e.g. 2048 on atlas-free
+    scene 1, where the measured queue-tier win came from).  The plain
+    megakernel keeps TILE=1024 (Cornell collapsed at 2048, BASELINE.md
+    round-4 sweep)."""
+    return _tk._pick_tile(scene)
+
+
+def mega_step(scene: S.Scene, cfg, sf, si, parf, pari, hybrid=False):
+    """One whole wavefront iteration.  Returns (sf', si', rays [1, n]).
+
+    `hybrid=True` runs the queue-scheduled variant: no in-kernel
+    regeneration or accumulation — the XLA flush in
+    integrator.trace_wavefront_qmega claims work and generates camera
+    rays (VERDICT r4 item 2: one Pallas launch per bounce for
+    trace+shade+NEE+RR with the queue claim/flush staying in XLA)."""
     any_xform = any(e[5] for e in scene.chunk_plan)
     props = build_props(scene, any_xform)
     n = sf.shape[1]
+    tile = hybrid_tile(scene) if hybrid else TILE
     run = _make_mega(scene.chunk_plan, scene.vol_slots_static, scene.n_vol,
                      any_xform, cfg.nx, cfg.ny,
                      scene.mat_present, scene.tex_present, scene.num_lights,
                      cfg.mis_bsdf_weight, float(cfg.t_min), float(cfg.t_max),
                      float(cfg.shadow_eps), int(cfg.rr_start_depth),
-                     int(cfg.max_depth), n // TILE, props.shape[1],
-                     _tk._TWO_LEVEL_MIN)
+                     int(cfg.max_depth), n // tile, props.shape[1],
+                     _tk._TWO_LEVEL_MIN, hybrid, tile)
     # augment_aabbs: identical to scene.block_aabbs unless the plan has
     # two-level groups (forced backend="mega" on an >=8k-prim scene) — the
     # in-kernel dispatch then needs the appended super-AABB rows

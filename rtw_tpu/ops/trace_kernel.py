@@ -267,6 +267,55 @@ def augment_aabbs(scene: S.Scene):
     return jnp.concatenate(rows + [guard], axis=0)
 
 
+def validate_walk_layout(scene: S.Scene) -> None:
+    """Host-side sanitizer for the walker's static index arithmetic — the
+    checkify analog for the kernel's most intricate code (SURVEY §5 race
+    detection / sanitizers row).  Every dynamic read the two-level walk can
+    issue is enumerated here against the augmented AABB table's actual row
+    layout; any violated invariant raises before a kernel ever launches.
+    Exercised over randomized chunk plans by tests/test_walker_fuzz.py."""
+    plan = scene.chunk_plan
+    n_blocks = sum(e[2] // e[6] for e in plan)
+    ab = scene.block_aabbs
+    assert ab.shape[0] == n_blocks, (
+        f"block AABB rows {ab.shape[0]} != plan blocks {n_blocks}")
+
+    sup_off = _super_offsets(plan)
+    n_supers = sum(_n_supers(e) for e in plan if _two_level(e))
+    has_two_level = n_supers > 0
+    total_rows = n_blocks + n_supers + (_GROUP if has_two_level else 0)
+    aug_rows = int(augment_aabbs(scene).shape[0])
+    assert aug_rows == total_rows, (aug_rows, total_rows)
+
+    scratch_rows = _max_dyn_blocks(plan)
+    blk = 0
+    for ei, e in enumerate(plan):
+        B = e[2] // e[6]
+        if _is_dynamic(e) and not _two_level(e):
+            # flat walk: one static [B, n] near-matrix at rows [blk, blk+B)
+            assert blk + B <= n_blocks
+            assert B <= scratch_rows, (B, scratch_rows)
+            assert ei not in sup_off
+        if _two_level(e):
+            Ssup = _n_supers(e)
+            assert Ssup * _GROUP >= B
+            assert Ssup + _GROUP <= scratch_rows, (Ssup, scratch_rows)
+            so = sup_off[ei]
+            # super rows live past every block row, inside the table
+            assert n_blocks <= so and so + Ssup <= n_blocks + n_supers
+            # worst-case dynamic refinement read: super Ssup-1 reads block
+            # rows [blk + (Ssup-1)*_GROUP, +_GROUP) — may overhang its own
+            # group's rows (partial super) but must stay inside the table
+            # (the guard tail absorbs the overhang, masked by valid_row)
+            hi = blk + (Ssup - 1) * _GROUP + _GROUP
+            assert hi <= aug_rows, (hi, aug_rows)
+        blk += B
+    # super offsets are disjoint and ordered
+    offs = sorted(sup_off.items())
+    for (e1, o1), (e2, o2) in zip(offs, offs[1:]):
+        assert o1 + _n_supers(plan[e1]) <= o2
+
+
 def _max_dyn_blocks(chunk_plan) -> int:
     """Rows of the shared near-matrix scratch (>=1 so the alloc is valid).
     Two-level groups need S super rows + _GROUP refined block rows."""
@@ -330,7 +379,7 @@ def _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax, time):
     return jnp.where(valid, t, BIG), C
 
 
-def _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, o, d, tmin,
+def _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, kb_ref, o, d, tmin,
                 ub_fn, visit_fn):
     """Front-to-back walk over one dynamic group's blocks for this ray
     tile — the ONE definition of the traversal order/culling, shared by
@@ -346,10 +395,23 @@ def _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, o, d, tmin,
     super's block rows are computed only while some lane's bound still
     undercuts its entry — this bounds the flat walk's O(B^2 * lanes)
     reduce work (fatal by ~10^4-10^5 prims) at O(S^2) + O(reached *
-    _GROUP^2)."""
+    _GROUP^2).
+
+    NOTE (round 5, measured): a "cheap scalar key" variant — reduce each
+    row's key ONCE into a [rows, 1] column at walk entry, select by
+    argmin over that column, and apply the dynamic cut lazily as a
+    per-visit [1, n] reach check under a second @pl.when — cut the
+    walk's vector scheduling work ~20x on paper and measured scene 4
+    10.3 -> 7.6, scene 2 16.5 -> 15.5 Mrays/s ON CHIP.  The extra
+    per-iteration branch (2 nested @pl.when + a dynamic row read) costs
+    more than the [rows, n] re-reduction it saves — consistent with the
+    round-3 lesson that a Mosaic branch costs about a whole 64-prim
+    block test.  Keep ONE branch per visit; the adaptive re-keying below
+    stays."""
     start, count, size, ptype, axis, has_xform, block = entry
     B = size // block
     n = o.x.shape[0]
+    del kb_ref   # see the cheap-scalar-key note above
 
     def keys_of(lo, rows, ub):
         nm = nm_ref[lo:lo + rows, :]
@@ -418,7 +480,7 @@ def _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, o, d, tmin,
     jax.lax.fori_loop(0, Ssup, outer, 0)
 
 
-def _dyn_nearest(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref,
+def _dyn_nearest(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref, kb_ref,
                  bt_ref, bi_ref, bp_ref, o, d, time, tmax, tmin):
     """Nearest-hit walk of one dynamic group (see _walk_group)."""
     def ub_fn():
@@ -428,12 +490,12 @@ def _dyn_nearest(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref,
         t, C = _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax, time)
         _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref)
 
-    _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, o, d, tmin,
+    _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, kb_ref, o, d, tmin,
                 ub_fn, visit)
 
 
-def _dyn_occl(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref, occ_ref,
-              o, d, time, tmax, tmin, want):
+def _dyn_occl(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref, kb_ref,
+              occ_ref, o, d, time, tmax, tmin, want):
     """Any-hit walk of one dynamic group (see _walk_group): near-ordered
     (closer blocks occlude with higher probability), lanes leave the
     `pending` set on first hit, and blocks/supers no pending lane can
@@ -450,7 +512,7 @@ def _dyn_occl(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref, occ_ref,
         hit_any = jnp.max((t < BIG).astype(jnp.float32), axis=0)
         occ_ref[0, :] = jnp.maximum(occ_ref[0, :], hit_any)
 
-    _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, o, d, tmin,
+    _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, kb_ref, o, d, tmin,
                 ub_fn, visit)
 
 
@@ -515,7 +577,7 @@ def _block_active(aabb_ref, blk_id, o, d, tmin, tmax, best_t):
 
 def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
                  o, d, time, tmax, vu_ref, vu_base, props_ref, aabb_ref,
-                 bt_ref, bi_ref, bp_ref, nm_ref):
+                 bt_ref, bi_ref, bp_ref, nm_ref, kb_ref):
     """Nearest-hit sweep + winner payload for one in-VMEM ray tile.
 
     Carries (best t / prim / props) live in VMEM scratch.  Small groups run
@@ -538,7 +600,7 @@ def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
         start, count, size, ptype, axis, has_xform, block = entry
         if _is_dynamic(entry):
             _dyn_nearest(entry, blk_id, sup_off.get(ei), props_ref,
-                         aabb_ref, nm_ref, bt_ref, bi_ref, bp_ref,
+                         aabb_ref, nm_ref, kb_ref, bt_ref, bi_ref, bp_ref,
                          o, d, time, tmax, tmin)
             blk_id += size // block
             continue
@@ -624,7 +686,7 @@ def _write_hit(of_ref, oi_ref, best_t, best_i, best_props, point, normal,
 
 def _kernel_body(chunk_plan, vol_slots, any_xform, n_vol, tmin,
                  rays_ref, vu_ref, props_ref, aabb_ref, of_ref, oi_ref,
-                 bt_ref, bi_ref, bp_ref, nm_ref):
+                 bt_ref, bi_ref, bp_ref, nm_ref, kb_ref):
     """One ray tile against the whole scene (see _nearest_hit)."""
     o = Vec3(rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
     d = Vec3(rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
@@ -632,7 +694,7 @@ def _kernel_body(chunk_plan, vol_slots, any_xform, n_vol, tmin,
     tmax = rays_ref[7, :]
     res = _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
                        o, d, time, tmax, vu_ref, 0, props_ref, aabb_ref,
-                       bt_ref, bi_ref, bp_ref, nm_ref)
+                       bt_ref, bi_ref, bp_ref, nm_ref, kb_ref)
     _write_hit(of_ref, oi_ref, *res)
 
 
@@ -646,7 +708,7 @@ def _plan_key(scene: S.Scene):
 
 @functools.lru_cache(maxsize=64)
 def _make_tracer(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles,
-                 kdim, two_level_min):
+                 kdim, two_level_min, tile):
     # two_level_min is in the cache key so mutating the module global
     # (tools/stress_scale.py --flat, test monkeypatches) can never pair a
     # cached kernel with an AABB table built under a different setting
@@ -656,25 +718,27 @@ def _make_tracer(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles,
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, TILE), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((max(n_vol, 1), TILE), lambda i: (0, i),
+            pl.BlockSpec((max(n_vol, 1), tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # props, whole table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # block AABBs
         ],
         out_specs=(
-            pl.BlockSpec((_NF32, TILE), lambda i: (0, i),
+            pl.BlockSpec((_NF32, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_NI32, TILE), lambda i: (0, i),
+            pl.BlockSpec((_NI32, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, TILE), jnp.float32),     # best t
-            pltpu.VMEM((1, TILE), jnp.int32),       # best prim
-            pltpu.VMEM((kdim, TILE), jnp.float32),  # best props
-            pltpu.VMEM((_max_dyn_blocks(chunk_plan), TILE),
+            pltpu.VMEM((1, tile), jnp.float32),     # best t
+            pltpu.VMEM((1, tile), jnp.int32),       # best prim
+            pltpu.VMEM((kdim, tile), jnp.float32),  # best props
+            pltpu.VMEM((_max_dyn_blocks(chunk_plan), tile),
                        jnp.float32),                # block near matrix
+            pltpu.VMEM((_max_dyn_blocks(chunk_plan), 1),
+                       jnp.float32),                # walk key column
         ],
     )
 
@@ -698,13 +762,34 @@ def _pad_tile(x, n_pad):
     return jnp.pad(x, pad)
 
 
+# Per-scene ray-tile size (VERDICT r4 item 3).  Measured on chip (round 4
+# TILE sweep, docs/ROADMAP.md): scene 1 (712 prims, procedural textures
+# only) prefers 2048-4096 (22.3 -> 23.9/24.2 Mrays/s) while scenes 2/4
+# (atlas textures) and the mega tier prefer 1024.  The mega kernel keeps
+# its own TILE import (1024).  Override for experiments via _TILE_OVERRIDE
+# (in the kernel cache key through the `tile` argument).
+_TILE_OVERRIDE = None
+
+
+def _pick_tile(scene: S.Scene) -> int:
+    if _TILE_OVERRIDE is not None:
+        return _TILE_OVERRIDE
+    if bool(scene.tex_present[S.TEX_IMAGE]) or bool(
+            scene.tex_present[S.TEX_NOISE]):
+        return TILE
+    if any(_two_level(e) for e in scene.chunk_plan):
+        return TILE          # stress tier measured at 1024 (scaling.json)
+    return 2 * TILE
+
+
 def trace_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time, vol_u):
     """Full-scene nearest-hit + shading record, Pallas backend.
 
     Same contract as ops/intersect.intersect_scene + a ShadeRec (the jnp
     path's equivalent is gather_shade in ops/shading.py)."""
     n = o.x.shape[0]
-    n_pad = -(-n // TILE) * TILE
+    tile = _pick_tile(scene)
+    n_pad = -(-n // tile) * tile
     any_xform = any(e[5] for e in scene.chunk_plan)
 
     tmax_p = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
@@ -714,8 +799,8 @@ def trace_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time, vol_u):
     props = build_props(scene, any_xform)
 
     run = _make_tracer(scene.chunk_plan, scene.vol_slots_static, scene.n_vol,
-                       float(tmin), any_xform, n_pad // TILE, props.shape[1],
-                       _TWO_LEVEL_MIN)
+                       float(tmin), any_xform, n_pad // tile, props.shape[1],
+                       _TWO_LEVEL_MIN, tile)
     f32, i32 = run(rays, vu, props, augment_aabbs(scene))
     return _unpack_hit(f32, i32, n)
 
@@ -747,7 +832,8 @@ def _unpack_hit(f32, i32, n):
 # ---------------------------------------------------------------------------
 
 def _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref,
-                vu_base, props_ref, aabb_ref, occ_ref, nm_ref, want=None):
+                vu_base, props_ref, aabb_ref, occ_ref, nm_ref, kb_ref,
+                want=None):
     """Any-hit sweep into occ_ref[0, :] (1.0 = occluded); blocks whose AABB
     no still-unoccluded wanting ray in the tile can reach are skipped (which
     also early-exits once the whole tile is resolved).  Large groups run the
@@ -762,7 +848,7 @@ def _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref,
         start, count, size, ptype, axis, has_xform, block = entry
         if _is_dynamic(entry):
             _dyn_occl(entry, blk_id, sup_off.get(ei), props_ref, aabb_ref,
-                      nm_ref, occ_ref, o, d, time, tmax, tmin, want)
+                      nm_ref, kb_ref, occ_ref, o, d, time, tmax, tmin, want)
             blk_id += size // block
             continue
         for b0 in range(start, start + size, block):
@@ -788,34 +874,36 @@ def _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref,
 
 
 def _occl_body(chunk_plan, vol_slots, n_vol, tmin, rays_ref, vu_ref,
-               props_ref, aabb_ref, out_ref, nm_ref):
+               props_ref, aabb_ref, out_ref, nm_ref, kb_ref):
     o = Vec3(rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
     d = Vec3(rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
     time = rays_ref[6, :]
     tmax = rays_ref[7, :]
     _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref, 0,
-                props_ref, aabb_ref, out_ref, nm_ref)
+                props_ref, aabb_ref, out_ref, nm_ref, kb_ref)
 
 
 @functools.lru_cache(maxsize=64)
 def _make_occluder(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles,
-                   two_level_min):
+                   two_level_min, tile):
     del two_level_min          # cache-key only (see _make_tracer)
     kern = functools.partial(_occl_body, chunk_plan, vol_slots, n_vol, tmin)
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((max(n_vol, 1), TILE), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(n_vol, 1), tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # block AABBs
         ],
-        out_specs=pl.BlockSpec((1, TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_max_dyn_blocks(chunk_plan), TILE),
+            pltpu.VMEM((_max_dyn_blocks(chunk_plan), tile),
                        jnp.float32),                # block near matrix
+            pltpu.VMEM((_max_dyn_blocks(chunk_plan), 1),
+                       jnp.float32),                # walk key column
         ],
     )
 
@@ -833,7 +921,8 @@ def _make_occluder(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles,
 def occluded_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time,
                     vol_u):
     n = o.x.shape[0]
-    n_pad = -(-n // TILE) * TILE
+    tile = _pick_tile(scene)
+    n_pad = -(-n // tile) * tile
     any_xform = any(e[5] for e in scene.chunk_plan)
     tmax_p = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     rays = jnp.stack([o.x, o.y, o.z, d.x, d.y, d.z, time, tmax_p], axis=0)
@@ -841,7 +930,7 @@ def occluded_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time,
     vu = _pad_tile(vol_u, n_pad)
     props = build_props(scene, any_xform)
     run = _make_occluder(scene.chunk_plan, scene.vol_slots_static,
-                         scene.n_vol, float(tmin), any_xform, n_pad // TILE,
-                         _TWO_LEVEL_MIN)
+                         scene.n_vol, float(tmin), any_xform, n_pad // tile,
+                         _TWO_LEVEL_MIN, tile)
     occ = run(rays, vu, props, augment_aabbs(scene))
     return occ[0, :n] > 0.5

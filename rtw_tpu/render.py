@@ -78,7 +78,7 @@ def render(scene, cfg, key=None, verbose: bool = False,
 
     npix = cfg.num_pixels
     batch = cfg.resolved_ray_batch()
-    chunk = cfg.resolved_spp_chunk()
+    chunk = cfg.resolved_spp_chunk(checkpointing=checkpoint_path is not None)
     n_tiles = math.ceil(npix / batch)
     pad = n_tiles * batch - npix
     perm = tile_permutation(cfg.nx, cfg.ny)    # lane i renders pixel perm[i]

@@ -34,6 +34,18 @@ class RenderConfig:
     #          NEE side carries the power heuristic (closehit.cu:111-113 with
     #          diffuseLight.cu adding full emission) — slightly overcounts.
     mis_bsdf_weight: bool = True
+    # Estimator family for diffuse lighting:
+    # "mis":  NEE shadow rays + power-heuristic MIS (default; strictly
+    #         lower variance).
+    # "book": the books' literal 0.5/0.5 cosine/light MIXTURE — the
+    #         scattered direction itself is drawn from the mixture and
+    #         weighted by scattering_pdf/mixture_pdf; no shadow rays, no
+    #         MIS weights (SURVEY §7.4 quirk 3 build decision; the
+    #         reference's mixturePdf.cu:10-37 comments the cosine branch
+    #         out, making it light-only — we implement the real mixture).
+    #         Unbiased; equivalence vs "mis" is tested
+    #         (tests/test_integrator.py).
+    estimator: str = "mis"
     # Russian roulette start depth (raygen.cu:74 starts at depth >= 2).
     rr_start_depth: int = 2
 
@@ -63,6 +75,12 @@ class RenderConfig:
     #               docs/ROADMAP.md "Scene-4 headroom").
     tex_filter: str = "rgb565"
 
+    # Tile-granular atlas gate: route per-lane image-atlas gathers through
+    # 1024-lane granule compaction (only granules containing an
+    # image-texture winner pay gathers; a lax.cond ladder picks a static
+    # T/8 | T/4 | T/2 | T prefix width).  ops/shading._image_eval_tiled.
+    tex_tile_gate: bool = True
+
     # Wavefront scheduler ----------------------------------------------------
     # "queue": global work-queue over (pixel, sample) items — lanes that
     #          finish a sample claim any pixel's next sample, so per-pixel
@@ -74,9 +92,19 @@ class RenderConfig:
     #          bitwise independent of batch width / mesh shape (use for
     #          distributed-determinism guarantees).  Slower on scenes with
     #          uneven pixel difficulty.
-    # "auto":  queue on the Pallas trace path (>=128-prim scenes on TPU),
-    #          regen on the pure-XLA path, whose fully-fused bounce the
-    #          queue's flush cond would split (measured 2.6x on Cornell).
+    # "qmega": queue claims/flush in XLA + the WHOLE bounce (trace, shade,
+    #          NEE occlusion, RR) fused into one Pallas launch
+    #          (ops/mega_kernel hybrid mode).  Same samples as "queue".
+    #          Requires the megakernel feature envelope (fast RNG,
+    #          <= 1 light, no noise/image textures, non-differentiable).
+    #          OPT-IN ONLY — measured SLOWER than "queue" on the big-scene
+    #          tier (scene 1: 22.2/21.0 vs 23.7; integrator._qmega_backend
+    #          docstring has the numbers), kept as an executor for
+    #          VMEM-resident-carry experiments.
+    # "auto":  whole-bounce megakernel for eligible small scenes; else
+    #          queue on the Pallas trace path, regen on the pure-XLA path
+    #          (whose fully-fused bounce the queue's flush cond would
+    #          split — measured 2.6x on Cornell).
     scheduler: str = "auto"
 
     # Work-queue flush policy ----------------------------------------------
@@ -162,16 +190,23 @@ class RenderConfig:
             return self.num_pixels
         return n
 
-    def resolved_spp_chunk(self) -> int:
+    def resolved_spp_chunk(self, checkpointing: bool = True) -> int:
         if self.spp_chunk > 0:
             return min(self.spp_chunk, self.spp)
-        # auto: ~256M paths per jitted step.  Every wavefront scheduler pays
-        # one drain tail per step whose relative cost shrinks as the chunk
-        # grows (per-pixel total work concentrates ~1/sqrt(spp)); memory
-        # per step is flat (per-lane accumulators).  Measured on the mega
-        # scheduler: Cornell 800^2 @1000 spp runs 120.7 Mrays/s in 50-spp
-        # chunks (the old 32M target) and 136.6 in one 1000-spp chunk.
-        # The cap keeps one jitted step interruptible/checkpointable at
-        # ~10 s scale and queue item ids far inside int32.
-        per = max(1, 256_000_000 // max(1, self.resolved_ray_batch()))
+        # auto: every wavefront scheduler pays one drain tail per jitted
+        # step whose relative cost shrinks as the chunk grows (per-pixel
+        # total work concentrates ~1/sqrt(spp)); memory per step is flat
+        # (per-lane accumulators).  Measured on the mega scheduler: Cornell
+        # 800^2 @1000 spp runs 120.7 Mrays/s in 50-spp chunks (the old 32M
+        # target), 134.3 at the 256M-path cap, and 136.6 in ONE 1000-spp
+        # chunk — so when nothing needs the step to be interruptible the
+        # whole request is one chunk, bounded only by queue item ids
+        # (cursor + rank enumerate batch*chunk items in int32).  With
+        # checkpointing active the ~256M-path cap keeps one step at ~10 s
+        # scale so saves actually happen mid-render.
+        batch = max(1, self.resolved_ray_batch())
+        if checkpointing:
+            per = max(1, 256_000_000 // batch)
+        else:
+            per = max(1, 2_000_000_000 // batch)
         return min(per, self.spp)

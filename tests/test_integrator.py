@@ -182,6 +182,55 @@ def test_mis_unbiased_vs_bsdf_only():
     assert abs(mis - bsdf) / bsdf < 0.04, (mis, bsdf)
 
 
+def test_book_mixture_unbiased():
+    """cfg.estimator='book' — the books' literal 0.5/0.5 cosine/light
+    mixture (SURVEY §7.4 quirk 3; the reference's mixturePdf.cu:10-37
+    comments the cosine branch out, making it light-only in practice) —
+    must estimate the same image as the default NEE+MIS estimator.
+
+    Scene: lit floor viewed straight-down (pure one-bounce-indirect), the
+    regime where the mixture's variance is tame enough that moderate spp
+    separate bias from noise: measured offline, book at 3x2000 spp spans
+    0.6265-0.6279 around mis 0.6283 (-0.2%).  On Cornell the mixture's
+    light-branch throughput w = cos_pdf/mix_pdf ~ 0.03 makes Russian
+    roulette scale survivors ~50x — firefly variance that needs ~100k spp
+    to bound 1%, which is why the equivalence test does NOT use Cornell
+    (a 1600-spp Cornell run read -5.5% purely from the tail)."""
+    b = SceneBuilder()
+    grey = b.lambertian(b.constant_texture((0.7, 0.7, 0.7)))
+    b.rect(-8, 8, -8, 8, 0.0, False, S.AXIS_Y, grey)
+    em = b.diffuse_light(b.constant_texture((1.0, 1.0, 1.0)))
+    b.rect(-4.0, 4.0, -4.0, 4.0, 1.5, True, S.AXIS_Y, em)
+    b.add_light(position=(-4.0, 1.5, -4.0), vec_u=(8.0, 0.0, 0.0),
+                vec_v=(0.0, 0.0, 8.0), emission=(1.0, 1.0, 1.0))
+    b.set_camera((0, 0.5, 0), (0, 0.0, 0), (1, 0, 0), 60, 1.0, 0.0, 0.5)
+    scene = b.build()
+
+    mis_cfg = rt.RenderConfig(nx=24, ny=24, spp=400, max_depth=6, seed=1)
+    mis = _render_mean(scene, mis_cfg).mean()
+    book_cfg = rt.RenderConfig(nx=24, ny=24, spp=2000, max_depth=6,
+                               seed=2, estimator="book")
+    book = _render_mean(scene, book_cfg).mean()
+    assert abs(book - mis) / mis < 0.02, (book, mis)
+
+    # the megakernel does not implement the book estimator: forcing it
+    # must fail loudly, and the auto gates must not select it
+    from rtw_tpu.integrator import (_mega_backend, _qmega_backend,
+                                    _validate_mega)
+    s5 = rt.build_scene(5, 16, 9)
+    assert not _mega_backend(book_cfg, s5)
+    assert not _qmega_backend(book_cfg, s5)
+    with pytest.raises(ValueError, match="estimator"):
+        _validate_mega(book_cfg, s5)
+
+    # the megakernel does not implement the book estimator: forcing it
+    # must fail loudly, and the auto gate must not select it
+    from rtw_tpu.integrator import _mega_backend, _validate_mega
+    assert not _mega_backend(book_cfg, rt.build_scene(5, 16, 9))
+    with pytest.raises(ValueError, match="estimator"):
+        _validate_mega(book_cfg, rt.build_scene(5, 16, 9))
+
+
 def test_mis_unbiased_two_lights():
     """MIS with L>1 lights must match brute-force BSDF-only path tracing.
 

@@ -108,3 +108,34 @@ def test_mega_step_on_two_level_scene(monkeypatch):
         sf2, si2, rays = MK.mega_step(scene, cfg, sf, si, parf, pari)
     assert np.isfinite(np.asarray(sf2)).all()
     assert float(jnp.sum(rays)) > 0
+
+
+@pytest.mark.parametrize("sid", [0, 1])
+def test_qmega_matches_queue(sid):
+    """The HYBRID scheduler (queue claims in XLA + whole-bounce kernel,
+    trace_wavefront_qmega) must produce the queue scheduler's image.
+    Scene 0 exercises in-kernel NEE/occlusion under hybrid flushing;
+    scene 1 exercises the big-scene dynamic walk + checker + sky plus
+    ~50% pad lanes (1152 lanes -> one 2048 tile).  Per-item sums
+    reassociate with claim order, hence atol instead of bitwise."""
+    from rtw_tpu.integrator import trace_wavefront_qmega, trace_wavefront_queue
+
+    nx, ny = 48, 24
+    cfg = rt.RenderConfig(nx=nx, ny=ny, spp=3, max_depth=6, scene_id=sid,
+                          seed=5)
+    scene = rt.build_scene(sid, nx, ny)
+    pix = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    key = R.base_key(cfg.seed)
+
+    ref, ref_rays, _ = jax.jit(
+        lambda: trace_wavefront_queue(scene, cfg, pix, key, 0, cfg.spp))()
+    with pltpu.force_tpu_interpret_mode():
+        got, rays, _ = jax.jit(
+            lambda: trace_wavefront_qmega(scene, cfg, pix, key, 0,
+                                          cfg.spp))()
+
+    a = np.stack([np.asarray(c) for c in ref])
+    b = np.stack([np.asarray(c) for c in got])
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, atol=3e-4, rtol=3e-4)
+    assert float(rays) == pytest.approx(float(ref_rays), rel=1e-6)

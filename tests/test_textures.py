@@ -167,3 +167,38 @@ def test_nearest565_close_to_bilinear():
     # neighborhood contrast
     assert abs(a.mean() - b.mean()) < 0.01
     assert np.abs(a - b).mean() < 0.08
+
+
+def test_tiled_atlas_gate_exact():
+    """The tile-ladder atlas gate (ops/shading._image_eval_tiled) must
+    return the full-width fetch on every needing lane (same taps, same
+    blend — differing only by XLA fusion reassociation, hence 1-ulp
+    tolerance), across ladder tiers (count in the T/8, T/4, T/2 and T
+    regimes) and with needing granules scattered anywhere."""
+    import rtw_tpu as rt
+    from rtw_tpu.ops.shading import (_image_eval, _image_eval_tiled,
+                                     _ATLAS_GRANULE)
+
+    scene = rt.build_scene(2, 32, 32)   # earth image atlas
+    rng = np.random.default_rng(5)
+    g = _ATLAS_GRANULE
+    t = 16
+    n = t * g
+    u = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+    v = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+    ids = jnp.zeros((n,), jnp.int32)
+
+    full = np.asarray(_image_eval(scene, ids, u, v, "rgb565").stack())
+    for needing_tiles in (1, 3, 7, 13, 16, 0):
+        tn = np.zeros(t, bool)
+        tn[rng.choice(t, needing_tiles, replace=False)] = True
+        need = np.zeros((t, g), bool)
+        # sparse needing lanes inside a needing granule
+        need[tn] = rng.random((needing_tiles, g)) < 0.1 if needing_tiles \
+            else False
+        need_j = jnp.asarray(need.reshape(-1))
+        out = np.asarray(_image_eval_tiled(scene, ids, u, v, "rgb565",
+                                           need_j).stack())
+        m = need.reshape(-1)
+        np.testing.assert_allclose(out[m], full[m], atol=1e-6,
+                                   err_msg=f"tiles={needing_tiles}")

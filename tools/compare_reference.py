@@ -44,6 +44,12 @@ def main(argv=None) -> int:
     ap.add_argument("--spp", type=int, default=200)
     ap.add_argument("--max-depth", type=int, default=20)
     ap.add_argument("--out-dir", default="/tmp/parity")
+    ap.add_argument("--denoise", action="store_true",
+                    help="score denoise(ours) against the reference — the "
+                         "like-for-like comparison (the reference PNGs ARE "
+                         "denoiser output, Director.cpp:887-949); decouples "
+                         "estimator divergence from the noise-vs-denoiser "
+                         "regime in the plain scores")
     args = ap.parse_args(argv)
 
     from PIL import Image
@@ -64,15 +70,27 @@ def main(argv=None) -> int:
         cfg = rt.RenderConfig(nx=nx, ny=ny, spp=args.spp,
                               max_depth=args.max_depth, scene_id=sid)
         scene = rt.build_scene(sid, nx, ny)
-        img8 = rt.render_image(scene, cfg)          # display space uint8
-        ours = np.asarray(img8, np.float32) / 255.0
+        if args.denoise:
+            from rtw_tpu.denoise import denoise
+
+            linear = rt.render(scene, cfg)           # bottom-origin linear
+            disp = np.asarray(denoise(linear, scene, cfg, mode="ldr",
+                                      gamma=cfg.gamma))
+            ours = np.clip(disp, 0.0, 1.0)[::-1]     # top-row-first display
+            tag = "_denoised"
+        else:
+            img8 = rt.render_image(scene, cfg)       # display space uint8
+            ours = np.asarray(img8, np.float32) / 255.0
+            tag = ""
 
         s = ssim(ours, ref_small)
         mae = float(np.abs(ours - ref_small).mean())
         side = np.concatenate([ours, ref_small], axis=1)
         Image.fromarray((side * 255).astype(np.uint8)).save(
-            os.path.join(args.out_dir, f"scene{sid}_vs_ref.png"))
-        print(json.dumps({"scene": sid, "reference": fname, "ssim": round(s, 4),
+            os.path.join(args.out_dir, f"scene{sid}_vs_ref{tag}.png"))
+        print(json.dumps({"scene": sid, "reference": fname,
+                          "denoised": bool(args.denoise),
+                          "ssim": round(s, 4),
                           "mae": round(mae, 4), "note": note}), flush=True)
     return 0
 
