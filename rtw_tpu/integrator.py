@@ -201,10 +201,18 @@ def _light_pdf_dir(scene: S.Scene, origin: Vec3, dir_unit: Vec3, mask):
 def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     """One wavefront bounce: trace, shade, NEE, RR.  Returns new state."""
     nv = max(scene.n_vol, 1)
-    n_slots = R.NUM_FIXED_SLOTS + 2 * nv
+    # stochastic texture filtering draws its row-selection uniform from a
+    # DEDICATED trailing slot: fast/tea slot streams are independent by
+    # index, so appending it leaves every estimator draw untouched, and
+    # independence from those draws is what keeps E[albedo * estimator]
+    # unbiased (ops/textures._image_stoch_565)
+    tex_slot = (cfg.tex_filter == "stoch565"
+                and bool(scene.tex_present[S.TEX_IMAGE]))
+    n_slots = R.NUM_FIXED_SLOTS + 2 * nv + (1 if tex_slot else 0)
     U = R.bounce_uniforms(path_keys, bounce + 1, n_slots, cfg.rng)  # [n_slots, N]
     vol_u = U[R.NUM_FIXED_SLOTS: R.NUM_FIXED_SLOTS + nv]
     occ_u = U[R.NUM_FIXED_SLOTS + nv: R.NUM_FIXED_SLOTS + 2 * nv]
+    tex_u = U[R.NUM_FIXED_SLOTS + 2 * nv] if tex_slot else None
 
     o, d = state.origin, state.direction
     # Dead lanes get tmax = -BIG: no primitive block can activate for them
@@ -247,7 +255,7 @@ def bounce_step(scene: S.Scene, cfg, path_keys, state: PathState, bounce):
     # albedo resolution (textures) stays outside the shared core: the
     # procedural/atlas texture machinery is executor-specific
     albedo = resolve_albedo(scene, shade, hit.point, hit.u, hit.v,
-                            cfg.tex_filter, cfg.tex_tile_gate)
+                            cfg.tex_filter, cfg.tex_tile_gate, tex_u)
 
     env = BounceEnv(
         mat_present=scene.mat_present,

@@ -47,7 +47,8 @@ from rtw_tpu.ops.vec import Vec3
 from rtw_tpu.ops import trace_kernel as _tk
 from rtw_tpu.ops.trace_kernel import (
     BIG, TILE, _MAT, _FUZZ, _ETA, _TEXT, _RGB, _ODD, _EVEN,
-    _max_dyn_blocks, _nearest_hit, _occl_sweep, augment_aabbs, build_props)
+    _make_ctx, _max_dyn_blocks, _nearest_hit, _occl_sweep, augment_aabbs,
+    build_props)
 from rtw_tpu.utils import rng as R
 
 # --- carry layout ----------------------------------------------------------
@@ -155,7 +156,7 @@ def _mega_body(chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
                tmin, t_max, shadow_eps, rr_start, max_depth, hybrid,
                sf_ref, si_ref, props_ref, aabb_ref, parf_ref, pari_ref,
                osf_ref, osi_ref, rays_ref,
-               bt_ref, bi_ref, bp_ref, nm_ref, kb_ref, occ_ref, vu_ref):
+               bt_ref, bi_ref, bp_ref, nm_ref, occ_ref, vu_ref):
     n = sf_ref.shape[1]
     nv = max(n_vol, 1)
     zero = jnp.zeros((n,), jnp.float32)
@@ -229,10 +230,10 @@ def _mega_body(chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
 
     # ---- trace (ops/trace_kernel._nearest_hit) ---------------------------
     tmax_lane = jnp.where(alive, np.float32(t_max), np.float32(-BIG))
+    ctx = _make_ctx(chunk_plan, False, props_ref, ())
     res = _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
                        org, dirn, time, tmax_lane, vu_ref, 0,
-                       props_ref, aabb_ref, bt_ref, bi_ref, bp_ref, nm_ref,
-                       kb_ref)
+                       ctx, aabb_ref, bt_ref, bi_ref, bp_ref, nm_ref)
     best_t, best_i, bp, point, normal, uu, vv = res
     miss = best_i < 0
 
@@ -267,8 +268,8 @@ def _mega_body(chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
 
     def occlude(shadow_org, ldir_u, occ_tmax, want):
         _occl_sweep(chunk_plan, vol_slots, shadow_eps, shadow_org, ldir_u,
-                    time, occ_tmax, vu_ref, nv, props_ref, aabb_ref,
-                    occ_ref, nm_ref, kb_ref, want=want)
+                    time, occ_tmax, vu_ref, nv, ctx, aabb_ref,
+                    occ_ref, nm_ref, want=want)
         return occ_ref[0, :] > 0.5
 
     env = BC.BounceEnv(
@@ -371,8 +372,6 @@ def _make_mega(chunk_plan, vol_slots, n_vol, any_xform, nx, ny,
             pltpu.VMEM((kdim, tile), jnp.float32),  # best props
             pltpu.VMEM((_max_dyn_blocks(chunk_plan), tile),
                        jnp.float32),                # near matrix
-            pltpu.VMEM((_max_dyn_blocks(chunk_plan), 1),
-                       jnp.float32),                # walk key column
             pltpu.VMEM((1, tile), jnp.float32),     # occluded
             pltpu.VMEM((2 * nv, tile), jnp.float32),  # volume uniforms
         ],

@@ -18,7 +18,8 @@ from rtw_tpu.ops import vec as V
 from rtw_tpu.ops.vec import Vec3
 from rtw_tpu.ops.trace_kernel import ShadeRec
 from rtw_tpu.ops.textures import (_image_bilinear, _image_bilinear_565,
-                                  _image_nearest_565, turbulence)
+                                  _image_nearest_565, _image_stoch_565,
+                                  turbulence)
 
 
 def gather_shade(scene: S.Scene, prim_idx, hit_mask) -> ShadeRec:
@@ -54,9 +55,11 @@ def _noise_eval(scene: S.Scene, scale, p: Vec3):
     return Vec3(m, m, m)
 
 
-def _image_eval(scene: S.Scene, image_id, u, v, tex_filter):
+def _image_eval(scene: S.Scene, image_id, u, v, tex_filter, tex_u=None):
     """Atlas fetch for every lane (the gathers — ~2.3 ms per 320k lanes
     each on TPU; 1/2/4 of them by cfg.tex_filter)."""
+    if tex_filter == "stoch565":
+        return _image_stoch_565(scene.textures, image_id, u, v, tex_u)
     fetch = {"rgb565": _image_bilinear_565,
              "nearest565": _image_nearest_565}.get(tex_filter,
                                                    _image_bilinear)
@@ -69,7 +72,8 @@ _ATLAS_GRANULE = 1024
 _ATLAS_LADDER = (8, 4, 2)
 
 
-def _image_eval_tiled(scene: S.Scene, image_id, u, v, tex_filter, need):
+def _image_eval_tiled(scene: S.Scene, image_id, u, v, tex_filter, need,
+                      tex_u=None):
     """Tile-granular atlas fetch: per-lane gathers only for 1024-lane
     granules that contain an image-texture winner (VERDICT r4 item 5).
 
@@ -97,10 +101,11 @@ def _image_eval_tiled(scene: S.Scene, image_id, u, v, tex_filter, need):
     g = _ATLAS_GRANULE
     t = n // g
     if n % g != 0 or t < max(_ATLAS_LADDER):
-        return _image_eval(scene, image_id, u, v, tex_filter)
+        return _image_eval(scene, image_id, u, v, tex_filter, tex_u)
 
     u2 = u.reshape(t, g)
     v2 = v.reshape(t, g)
+    xi2 = None if tex_u is None else tex_u.reshape(t, g)
     id2 = image_id.reshape(t, g)
     tn = jnp.any(need.reshape(t, g), axis=1)
     a = tn.astype(jnp.int32)
@@ -118,7 +123,9 @@ def _image_eval_tiled(scene: S.Scene, image_id, u, v, tex_filter, need):
             rows = perm[:cap]
             col = _image_eval(scene, id2[rows].reshape(-1),
                               u2[rows].reshape(-1), v2[rows].reshape(-1),
-                              tex_filter)
+                              tex_filter,
+                              None if xi2 is None
+                              else xi2[rows].reshape(-1))
 
             def put(c):
                 return zero2.at[rows].set(c.reshape(cap, g))
@@ -139,7 +146,7 @@ def _image_eval_tiled(scene: S.Scene, image_id, u, v, tex_filter, need):
 
 def resolve_albedo(scene: S.Scene, shade: ShadeRec, p: Vec3, u, v,
                    tex_filter: str = "rgb565",
-                   tex_tile_gate: bool = True) -> Vec3:
+                   tex_tile_gate: bool = True, tex_u=None) -> Vec3:
     """Final albedo from the shading record + procedural texture kinds.
 
     Static `scene.tex_present` flags keep unreachable texture code out of
@@ -181,9 +188,10 @@ def resolve_albedo(scene: S.Scene, shade: ShadeRec, p: Vec3, u, v,
         def _image(a):
             if tex_tile_gate:
                 img = _image_eval_tiled(scene, shade.image_id, u, v,
-                                        tex_filter, need_i)
+                                        tex_filter, need_i, tex_u)
             else:
-                img = _image_eval(scene, shade.image_id, u, v, tex_filter)
+                img = _image_eval(scene, shade.image_id, u, v, tex_filter,
+                                  tex_u)
             return V.where(need_i, img, a)
 
         albedo = lax.cond(jnp.any(need_i), _image, lambda a: a, albedo)

@@ -194,6 +194,50 @@ def _image_bilinear_565(tex: S.Textures, image_id, u, v) -> Vec3:
     return cx0 + (cx1 - cx0) * fy
 
 
+def _image_stoch_565(tex: S.Textures, image_id, u, v, xi) -> Vec3:
+    """Stochastic bilinear fetch from the RGB565 pair atlas: ONE flat
+    gather per fetch.  The y texel row is SAMPLED by its bilinear weight
+    (row y0 with probability 1-fy, row y0+1 with fy) using the dedicated
+    per-lane uniform `xi`; the x blend stays exact (the pair word carries
+    both x taps).  E[fetch] is EXACTLY the `_image_bilinear_565` value, so
+    under Monte Carlo spp averaging this converges to the same image with
+    negligible added variance (texel-difference scale, far below path
+    noise) — the stochastic texture filtering trade standard in production
+    path tracers, here buying back half the dominant per-lane gather cost
+    (~2.3 ms per 320k lanes per gather on TPU).  `xi` must be independent
+    of every estimator draw (it gets its own RNG slot) or the
+    throughput-times-radiance product would bias."""
+    h_i, w_i, off = _image_geometry(tex, image_id)
+    h = h_i.astype(jnp.float32)
+    w = w_i.astype(jnp.float32)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = jnp.where(x0 < 0.0, 0.0, x - x0)    # clamp addressing (see _565)
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w_i - 1)
+    yi = jnp.clip(y0.astype(jnp.int32) + (xi < fy).astype(jnp.int32),
+                  0, h_i - 1)
+
+    inv31 = np.float32(1.0 / 31.0)
+    inv63 = np.float32(1.0 / 63.0)
+    bits = tex.images_packed565[off + yi * w_i + x0i]  # one 1-D gather
+
+    def unpack(half):
+        return Vec3(
+            ((half >> np.uint32(11)) & np.uint32(31)).astype(jnp.float32)
+            * inv31,
+            ((half >> np.uint32(5)) & np.uint32(63)).astype(jnp.float32)
+            * inv63,
+            (half & np.uint32(31)).astype(jnp.float32) * inv31,
+        )
+
+    c0 = unpack(bits & np.uint32(0xFFFF))
+    c1 = unpack(bits >> np.uint32(16))
+    return c0 + (c1 - c0) * fx
+
+
 def _image_nearest_565(tex: S.Textures, image_id, u, v) -> Vec3:
     """Nearest-texel fetch from the RGB565 pair atlas: ONE flat gather per
     fetch (vs 2 bilinear-565 / 4 bilinear-rgb8).  Gathers are the dominant

@@ -128,22 +128,25 @@ def _sphere_uv_poly(nrm: Vec3):
 
 
 def _block_test(props_ref, vu_ref, vol_slots, entry, b0, o, d, tmin, tmax,
-                time, vu_base=0):
+                time, vu_base=0, row_off=0):
     """t-matrix [C, TILE] for one primitive block, read from VMEM refs.
 
     `vu_base`: row offset of this sweep's free-flight uniforms inside
     vu_ref (the megakernel packs main-ray and shadow-ray draws in one
-    lanes array)."""
+    lanes array).  `row_off`: static offset subtracted from global props
+    rows — props-streaming mode reads groups from a compact VMEM
+    resident scratch instead of the whole table."""
     start, count, size, ptype, axis, has_xform, block = entry
     C = min(block, start + size - b0)
-    params = props_ref[b0:b0 + C, 0:9]
+    r0 = b0 - row_off
+    params = props_ref[r0:r0 + C, 0:9]
     # pad mask computed in-kernel (captured np constants are not
     # allowed as implicit pallas inputs)
     valid = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
              + (b0 - start)) < count
 
     if has_xform:
-        w2o_cols = [[props_ref[b0:b0 + C, _W2O + i * 4 + j][:, None]
+        w2o_cols = [[props_ref[r0:r0 + C, _W2O + i * 4 + j][:, None]
                      for j in range(4)] for i in range(3)]
         oo = V.affine_point(w2o_cols, o)
         dd = V.affine_vec(w2o_cols, d)
@@ -316,6 +319,38 @@ def validate_walk_layout(scene: S.Scene) -> None:
         assert o1 + _n_supers(plan[e1]) <= o2
 
 
+# Props residency (VERDICT r4 item 8): above this table size the whole
+# [P, K] f32 props table no longer fits scoped VMEM next to the sweep's
+# scratch (measured ceiling ~128k prims at K=25, docs/scaling.json) — the
+# table stays in HBM and the kernels stream the rows they touch.  64k
+# prims (6.5 MB) measured FASTER fully resident, so the threshold sits
+# just above it.
+_PROPS_STREAM_BYTES = 8 * 2 ** 20
+_PROPS_STREAM_OVERRIDE = None      # tests force True/False
+
+
+def _props_stream(chunk_plan, kdim: int) -> bool:
+    if _PROPS_STREAM_OVERRIDE is not None:
+        return bool(_PROPS_STREAM_OVERRIDE)
+    rows = sum(e[2] for e in chunk_plan)
+    return rows * kdim * 4 > _PROPS_STREAM_BYTES
+
+
+def _stream_plan(chunk_plan):
+    """Static layout of streaming mode's VMEM scratches:
+    (resident rows, {entry index -> resident base row}, per-super rows).
+    Non-two-level groups live stacked in the resident scratch; the
+    largest two-level block size dictates the per-super window."""
+    base, bases, sup_rows = 0, {}, 8
+    for ei, e in enumerate(chunk_plan):
+        if _two_level(e):
+            sup_rows = max(sup_rows, _GROUP * e[6])
+        else:
+            bases[ei] = base
+            base += e[2]
+    return max(base, 8), bases, sup_rows
+
+
 def _max_dyn_blocks(chunk_plan) -> int:
     """Rows of the shared near-matrix scratch (>=1 so the alloc is valid).
     Two-level groups need S super rows + _GROUP refined block rows."""
@@ -349,17 +384,19 @@ def _near_matrix(aabb_ref, g_bid, B: int, o, d, tmin):
     return jnp.where(far >= nearc, nearc, BIG)
 
 
-def _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax, time):
-    """t-matrix [block, n] for dynamically-chosen block at row offset b0
-    (a traced scalar) of a same-typed group."""
+def _block_test_dyn(props_ref, lb0, entry, b0, o, d, tmin, tmax, time):
+    """t-matrix [block, n] for dynamically-chosen block at global row b0
+    (a traced scalar) of a same-typed group; rows are READ at `lb0` of
+    `props_ref` — equal to b0 when the whole table is VMEM-resident,
+    or a local offset into the streaming scratch window."""
     start, count, size, ptype, axis, has_xform, block = entry
     C = block
-    params = props_ref[pl.ds(b0, C), 0:9]
+    params = props_ref[pl.ds(lb0, C), 0:9]
     valid = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
              + (b0 - start)) < count
 
     if has_xform:
-        w2o_cols = [[props_ref[pl.ds(b0, C), _W2O + i * 4 + j][:, None]
+        w2o_cols = [[props_ref[pl.ds(lb0, C), _W2O + i * 4 + j][:, None]
                      for j in range(4)] for i in range(3)]
         oo = V.affine_point(w2o_cols, o)
         dd = V.affine_vec(w2o_cols, d)
@@ -379,12 +416,18 @@ def _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax, time):
     return jnp.where(valid, t, BIG), C
 
 
-def _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, kb_ref, o, d, tmin,
-                ub_fn, visit_fn):
+def _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, o, d, tmin,
+                ub_fn, visit_fn, super_hook=None):
     """Front-to-back walk over one dynamic group's blocks for this ray
     tile — the ONE definition of the traversal order/culling, shared by
     the nearest-hit and any-hit sweeps (they differ only in the per-lane
-    upper bound `ub_fn()` and the per-block action `visit_fn(b0)`).
+    upper bound `ub_fn()` and the per-block action
+    `visit_fn(b0, s, k)` — b0 the global props row, s the super index
+    (None on the flat path), k the block index within the level).
+    `super_hook(s)` fires when the two-level walk descends into super s,
+    BEFORE its refined near-matrix is computed — the props-streaming
+    mode starts its HBM->VMEM DMA there so the copy rides under the
+    refinement math.
 
     Groups below _TWO_LEVEL_MIN blocks order all B blocks directly by
     conservative entry distance with a per-lane upper-bound cut (the
@@ -407,35 +450,58 @@ def _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, kb_ref, o, d, tmin,
     more than the [rows, n] re-reduction it saves — consistent with the
     round-3 lesson that a Mosaic branch costs about a whole 64-prim
     block test.  Keep ONE branch per visit; the adaptive re-keying below
-    stays."""
+    stays.
+
+    Loop mechanism (round 5): each level runs a while_loop that EXITS the
+    moment a re-key finds no reachable row left (kmin == BIG), instead of
+    the round-4 fori_loop that kept spinning keys_of-only iterations to
+    its static trip count.  The visit sequence is identical (same one
+    branch per visit); only the dead tail of re-keys is cut — the win
+    scales with how early the per-lane bound cut empties the group
+    (occlusion walks exit on first tile-wide hit; big-scene supers far
+    behind the rays' bounds are never re-keyed)."""
     start, count, size, ptype, axis, has_xform, block = entry
     B = size // block
     n = o.x.shape[0]
-    del kb_ref   # see the cheap-scalar-key note above
 
     def keys_of(lo, rows, ub):
         nm = nm_ref[lo:lo + rows, :]
         return jnp.min(jnp.where(nm < ub[None, :], nm, BIG),
                        axis=1, keepdims=True)
 
-    if not _two_level(entry):
-        nm_ref[0:B, :] = _near_matrix(aabb_ref, g_bid, B, o, d, tmin)
-        iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    def walk_level(lo, rows, iota, on_visit):
+        """Front-to-back visit loop over nm_ref rows [lo, lo+rows): visit
+        the nearest not-yet-consumed row some lane still reaches, until
+        none is left.  on_visit(k) must BIG-out row lo+k."""
+        def cond(carry):
+            it, live = carry
+            return (it < rows) & live
 
-        def body(_it, carry):
-            keys = keys_of(0, B, ub_fn())
+        def body(carry):
+            it, _ = carry
+            keys = keys_of(lo, rows, ub_fn())
             kmin = jnp.min(keys)
 
             @pl.when(kmin < BIG)
             def _():
-                k = jnp.min(jnp.where(keys <= kmin, iota_b, B)).astype(
+                k = jnp.min(jnp.where(keys <= kmin, iota, rows)).astype(
                     jnp.int32)
-                visit_fn(start + k * block)
-                nm_ref[pl.ds(k, 1), :] = jnp.full((1, n), BIG, jnp.float32)
+                on_visit(k)
 
-            return carry
+            return it + 1, kmin < BIG
 
-        jax.lax.fori_loop(0, B, body, 0)
+        jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),
+                                        jnp.asarray(True)))
+
+    if not _two_level(entry):
+        nm_ref[0:B, :] = _near_matrix(aabb_ref, g_bid, B, o, d, tmin)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+
+        def visit_flat(k):
+            visit_fn(start + k * block, None, k)
+            nm_ref[pl.ds(k, 1), :] = jnp.full((1, n), BIG, jnp.float32)
+
+        walk_level(0, B, iota_b, visit_flat)
         return
 
     Ssup = _n_supers(entry)
@@ -445,81 +511,155 @@ def _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, kb_ref, o, d, tmin,
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (Ssup, 1), 0)
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, 1), 0)
 
-    def outer(_it, carry):
-        keys = keys_of(0, Ssup, ub_fn())
-        kmin = jnp.min(keys)
+    def visit_super(s):
+        if super_hook is not None:
+            super_hook(s)
+        nm = _near_matrix(aabb_ref, g_bid + s * _GROUP, _GROUP,
+                          o, d, tmin)
+        valid_row = (s * _GROUP + iota_g) < B
+        nm_ref[Ssup:Ssup + _GROUP, :] = jnp.where(valid_row, nm, BIG)
 
-        @pl.when(kmin < BIG)
-        def _():
-            s = jnp.min(jnp.where(keys <= kmin, iota_s, Ssup)).astype(
-                jnp.int32)
-            nm = _near_matrix(aabb_ref, g_bid + s * _GROUP, _GROUP,
-                              o, d, tmin)
-            valid_row = (s * _GROUP + iota_g) < B
-            nm_ref[Ssup:Ssup + _GROUP, :] = jnp.where(valid_row, nm, BIG)
+        def visit_block(k):
+            visit_fn(start + (s * _GROUP + k) * block, s, k)
+            nm_ref[pl.ds(Ssup + k, 1), :] = jnp.full(
+                (1, n), BIG, jnp.float32)
 
-            def inner(_j, c2):
-                keys2 = keys_of(Ssup, _GROUP, ub_fn())
-                kmin2 = jnp.min(keys2)
+        walk_level(Ssup, _GROUP, iota_g, visit_block)
+        nm_ref[pl.ds(s, 1), :] = jnp.full((1, n), BIG, jnp.float32)
 
-                @pl.when(kmin2 < BIG)
-                def _():
-                    k = jnp.min(jnp.where(keys2 <= kmin2, iota_g,
-                                          _GROUP)).astype(jnp.int32)
-                    visit_fn(start + (s * _GROUP + k) * block)
-                    nm_ref[pl.ds(Ssup + k, 1), :] = jnp.full(
-                        (1, n), BIG, jnp.float32)
-
-                return c2
-
-            jax.lax.fori_loop(0, _GROUP, inner, 0)
-            nm_ref[pl.ds(s, 1), :] = jnp.full((1, n), BIG, jnp.float32)
-
-        return carry
-
-    jax.lax.fori_loop(0, Ssup, outer, 0)
+    walk_level(0, Ssup, iota_s, visit_super)
 
 
-def _dyn_nearest(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref, kb_ref,
+class _StreamCtx(NamedTuple):
+    """Props-residency context threaded through the sweeps.
+
+    When `stream` is False, `props_ref` is the whole [P, K] table in VMEM
+    and every read uses global rows.  When True (the >8 MB tier,
+    VERDICT r4 item 8), `props_ref` lives in HBM (memory_space=ANY) and
+    is only ever DMA'd: non-two-level groups are copied once per ray
+    tile into the compact `resid_ref` scratch (static layout
+    `resid_base`), and each two-level super's _GROUP blocks are copied
+    into `sup_ref` when the walk descends into that super — the
+    reference's analog is optixAccelBuild keeping scene-sized geometry
+    in device memory while the traversal hardware caches what it
+    touches."""
+
+    props_ref: Any     # [P, K] table: VMEM ref, or ANY/HBM ref when stream
+    resid_ref: Any     # VMEM [resid_rows, K] scratch or None
+    sup_ref: Any       # VMEM [_GROUP * block, K] scratch or None
+    sem: Any           # DMA completion semaphore or None
+    resid_base: Any    # dict: entry index -> row base inside resid_ref
+    stream: bool
+
+
+def _flat_src(ctx: _StreamCtx, ei: int, entry):
+    """(ref, static row offset to subtract) for static/flat-walk reads of
+    group `ei`."""
+    if not ctx.stream:
+        return ctx.props_ref, 0
+    return ctx.resid_ref, entry[0] - ctx.resid_base[ei]
+
+
+def _sup_dma(ctx: _StreamCtx, entry, s):
+    """Descriptor of the per-super props copy: super `s`'s _GROUP blocks
+    of rows -> sup_ref.  The table carries a guard tail (trace_pallas)
+    so the fixed-size copy of a partial last super stays in bounds; pad
+    blocks are never visited (their AABBs are inverted)."""
+    start, count, size, ptype, axis, has_xform, block = entry
+    rows = _GROUP * block
+    return pltpu.make_async_copy(
+        ctx.props_ref.at[pl.ds(start + s * rows, rows), :],
+        ctx.sup_ref.at[pl.ds(0, rows), :],
+        ctx.sem)
+
+
+def _load_resident(ctx: _StreamCtx, chunk_plan):
+    """Copy every non-two-level group's rows into resid_ref (kernel
+    start, streaming mode).  Sequential start/wait — this happens once
+    per ray tile and the copies are a few hundred KB total."""
+    for ei, e in enumerate(chunk_plan):
+        if _two_level(e):
+            continue
+        dma = pltpu.make_async_copy(
+            ctx.props_ref.at[pl.ds(e[0], e[2]), :],
+            ctx.resid_ref.at[pl.ds(ctx.resid_base[ei], e[2]), :],
+            ctx.sem)
+        dma.start()
+        dma.wait()
+
+
+def _dyn_hooks(ctx: _StreamCtx, ei: int, entry):
+    """(super_hook, visit source resolver) for one dynamic group's walk."""
+    two_stream = ctx.stream and _two_level(entry)
+    flat_ref, flat_off = (None, 0) if two_stream else _flat_src(ctx, ei,
+                                                                entry)
+
+    def src_of(b0, s, k):
+        if two_stream:
+            return ctx.sup_ref, k * entry[6]
+        return flat_ref, b0 - flat_off
+
+    if not two_stream:
+        return None, src_of
+
+    def super_hook(s):
+        # synchronous per-super copy: ~_GROUP*block*K*4 bytes (~100 KB at
+        # K=25) per descended super; overlap with the refinement math is
+        # not worth a second semaphore until measured to matter
+        _sup_dma(ctx, entry, s).start()
+        _sup_dma(ctx, entry, s).wait()
+
+    return super_hook, src_of
+
+
+def _dyn_nearest(entry, ei, g_bid, g_sid, ctx, aabb_ref, nm_ref,
                  bt_ref, bi_ref, bp_ref, o, d, time, tmax, tmin):
     """Nearest-hit walk of one dynamic group (see _walk_group)."""
+    super_hook, src_of = _dyn_hooks(ctx, ei, entry)
+
     def ub_fn():
         return jnp.minimum(bt_ref[0, :], tmax)
 
-    def visit(b0):
-        t, C = _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax, time)
-        _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref)
+    def visit(b0, s, k):
+        ref, lb0 = src_of(b0, s, k)
+        t, C = _block_test_dyn(ref, lb0, entry, b0, o, d, tmin, tmax, time)
+        _merge_block(b0, t, C, ref, bt_ref, bi_ref, bp_ref, lb0=lb0)
 
-    _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, kb_ref, o, d, tmin,
-                ub_fn, visit)
+    _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, o, d, tmin,
+                ub_fn, visit, super_hook=super_hook)
 
 
-def _dyn_occl(entry, g_bid, g_sid, props_ref, aabb_ref, nm_ref, kb_ref,
+def _dyn_occl(entry, ei, g_bid, g_sid, ctx, aabb_ref, nm_ref,
               occ_ref, o, d, time, tmax, tmin, want):
     """Any-hit walk of one dynamic group (see _walk_group): near-ordered
     (closer blocks occlude with higher probability), lanes leave the
     `pending` set on first hit, and blocks/supers no pending lane can
     reach are never tested."""
+    super_hook, src_of = _dyn_hooks(ctx, ei, entry)
+
     def ub_fn():
         pending = occ_ref[0, :] < 0.5
         if want is not None:
             pending = pending & want
         return jnp.where(pending, tmax, -BIG)
 
-    def visit(b0):
-        t, _C = _block_test_dyn(props_ref, entry, b0, o, d, tmin, tmax,
+    def visit(b0, s, k):
+        ref, lb0 = src_of(b0, s, k)
+        t, _C = _block_test_dyn(ref, lb0, entry, b0, o, d, tmin, tmax,
                                 time)
         hit_any = jnp.max((t < BIG).astype(jnp.float32), axis=0)
         occ_ref[0, :] = jnp.maximum(occ_ref[0, :], hit_any)
 
-    _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, kb_ref, o, d, tmin,
-                ub_fn, visit)
+    _walk_group(entry, g_bid, g_sid, aabb_ref, nm_ref, o, d, tmin,
+                ub_fn, visit, super_hook=super_hook)
 
 
 
-def _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref):
+def _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref, lb0=None):
     """Merge one block's [C, n] t-matrix into the running (t, prim, props)
-    winner.
+    winner.  `b0` is the GLOBAL first-prim row (recorded as winner
+    identity); rows are READ at `lb0` (defaults to b0 — differs only in
+    props-streaming mode, where props_ref is a local scratch window).
 
     The winner's property record fetch is exact either way; the route
     depends on block width:
@@ -532,13 +672,16 @@ def _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref):
       TPU matmul truncates fp32 inputs to bf16, corrupting gathered
       geometry; the multi-pass f32 emulation recovers full precision)."""
     n = t.shape[1]
+    if lb0 is None:
+        lb0 = b0
     c_t = jnp.min(t, axis=0)
     c_arg = jnp.argmin(t, axis=0).astype(jnp.int32)
     best_t = bt_ref[0, :]
     better = c_t < best_t
 
+    K = bp_ref.shape[0]        # real column count (padded refs read 0:K)
     if C <= 16:
-        blk = props_ref[pl.ds(b0, C), :]          # [C, K]
+        blk = props_ref[pl.ds(lb0, C), 0:K]        # [C, K]
         acc = blk[0, :][:, None] * (c_arg == 0).astype(jnp.float32)[None, :]
         for c in range(1, C):
             m = (c_arg == c).astype(jnp.float32)[None, :]
@@ -548,7 +691,7 @@ def _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref):
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (C, n), 0)
                   == c_arg[None, :]).astype(jnp.float32)
         blk_props = jax.lax.dot_general(
-            props_ref[pl.ds(b0, C), :], onehot,
+            props_ref[pl.ds(lb0, C), 0:K], onehot,
             dimension_numbers=(((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)   # [K, n]
@@ -576,8 +719,8 @@ def _block_active(aabb_ref, blk_id, o, d, tmin, tmax, best_t):
 
 
 def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
-                 o, d, time, tmax, vu_ref, vu_base, props_ref, aabb_ref,
-                 bt_ref, bi_ref, bp_ref, nm_ref, kb_ref):
+                 o, d, time, tmax, vu_ref, vu_base, ctx, aabb_ref,
+                 bt_ref, bi_ref, bp_ref, nm_ref):
     """Nearest-hit sweep + winner payload for one in-VMEM ray tile.
 
     Carries (best t / prim / props) live in VMEM scratch.  Small groups run
@@ -592,6 +735,8 @@ def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
     bt_ref[:, :] = jnp.full((1, n), BIG, jnp.float32)
     bi_ref[:, :] = jnp.full((1, n), -1, jnp.int32)
     bp_ref[:, :] = jnp.zeros_like(bp_ref)
+    if ctx.stream:
+        _load_resident(ctx, chunk_plan)
 
     culls = _use_block_culls(chunk_plan)
     sup_off = _super_offsets(chunk_plan)
@@ -599,19 +744,22 @@ def _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
     for ei, entry in enumerate(chunk_plan):
         start, count, size, ptype, axis, has_xform, block = entry
         if _is_dynamic(entry):
-            _dyn_nearest(entry, blk_id, sup_off.get(ei), props_ref,
-                         aabb_ref, nm_ref, kb_ref, bt_ref, bi_ref, bp_ref,
+            _dyn_nearest(entry, ei, blk_id, sup_off.get(ei), ctx,
+                         aabb_ref, nm_ref, bt_ref, bi_ref, bp_ref,
                          o, d, time, tmax, tmin)
             blk_id += size // block
             continue
+        s_ref, s_off = _flat_src(ctx, ei, entry)
         for b0 in range(start, start + size, block):
             bid = blk_id
             blk_id += 1
 
-            def run_block(entry=entry, b0=b0):
-                t, C = _block_test(props_ref, vu_ref, vol_slots, entry, b0,
-                                   o, d, tmin, tmax, time, vu_base)
-                _merge_block(b0, t, C, props_ref, bt_ref, bi_ref, bp_ref)
+            def run_block(entry=entry, b0=b0, s_ref=s_ref, s_off=s_off):
+                t, C = _block_test(s_ref, vu_ref, vol_slots, entry, b0,
+                                   o, d, tmin, tmax, time, vu_base,
+                                   row_off=s_off)
+                _merge_block(b0, t, C, s_ref, bt_ref, bi_ref, bp_ref,
+                             lb0=b0 - s_off)
 
             if culls:
                 active = _block_active(aabb_ref, bid, o, d, tmin, tmax,
@@ -684,17 +832,26 @@ def _write_hit(of_ref, oi_ref, best_t, best_i, best_props, point, normal,
     oi_ref[:, :] = jnp.stack(i32_rows, axis=0)
 
 
-def _kernel_body(chunk_plan, vol_slots, any_xform, n_vol, tmin,
+def _make_ctx(chunk_plan, stream, props_ref, stream_refs) -> _StreamCtx:
+    if not stream:
+        return _StreamCtx(props_ref, None, None, None, {}, False)
+    resid_ref, sup_ref, sem_ref = stream_refs
+    _, bases, _ = _stream_plan(chunk_plan)
+    return _StreamCtx(props_ref, resid_ref, sup_ref, sem_ref, bases, True)
+
+
+def _kernel_body(chunk_plan, vol_slots, any_xform, n_vol, tmin, stream,
                  rays_ref, vu_ref, props_ref, aabb_ref, of_ref, oi_ref,
-                 bt_ref, bi_ref, bp_ref, nm_ref, kb_ref):
+                 bt_ref, bi_ref, bp_ref, nm_ref, *stream_refs):
     """One ray tile against the whole scene (see _nearest_hit)."""
     o = Vec3(rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
     d = Vec3(rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
     time = rays_ref[6, :]
     tmax = rays_ref[7, :]
+    ctx = _make_ctx(chunk_plan, stream, props_ref, stream_refs)
     res = _nearest_hit(chunk_plan, vol_slots, any_xform, tmin,
-                       o, d, time, tmax, vu_ref, 0, props_ref, aabb_ref,
-                       bt_ref, bi_ref, bp_ref, nm_ref, kb_ref)
+                       o, d, time, tmax, vu_ref, 0, ctx, aabb_ref,
+                       bt_ref, bi_ref, bp_ref, nm_ref)
     _write_hit(of_ref, oi_ref, *res)
 
 
@@ -706,15 +863,31 @@ def _plan_key(scene: S.Scene):
     return (scene.chunk_plan, scene.vol_slots_static, scene.n_vol)
 
 
+def _stream_scratch(chunk_plan, kdim, stream):
+    """Extra scratch allocations of streaming mode (see _StreamCtx).
+    Widths are lane-padded to match the HBM table's physical layout —
+    DMA destinations must mirror the 128-wide source slices."""
+    if not stream:
+        return []
+    resid_rows, _, sup_rows = _stream_plan(chunk_plan)
+    kp = -(-kdim // _LANE) * _LANE
+    return [
+        pltpu.VMEM((resid_rows, kp), jnp.float32),     # resident groups
+        pltpu.VMEM((sup_rows, kp), jnp.float32),       # current super
+        pltpu.SemaphoreType.DMA(()),
+    ]
+
+
 @functools.lru_cache(maxsize=64)
 def _make_tracer(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles,
-                 kdim, two_level_min, tile):
+                 kdim, two_level_min, tile, stream):
     # two_level_min is in the cache key so mutating the module global
     # (tools/stress_scale.py --flat, test monkeypatches) can never pair a
     # cached kernel with an AABB table built under a different setting
     del two_level_min          # read via the global at trace time
     kern = functools.partial(_kernel_body, chunk_plan, vol_slots,
-                             any_xform, n_vol, tmin)
+                             any_xform, n_vol, tmin, stream)
+    props_space = pl.ANY if stream else pltpu.VMEM
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
@@ -722,7 +895,7 @@ def _make_tracer(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((max(n_vol, 1), tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # props, whole table
+            pl.BlockSpec(memory_space=props_space),  # props, whole table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # block AABBs
         ],
         out_specs=(
@@ -737,9 +910,7 @@ def _make_tracer(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles,
             pltpu.VMEM((kdim, tile), jnp.float32),  # best props
             pltpu.VMEM((_max_dyn_blocks(chunk_plan), tile),
                        jnp.float32),                # block near matrix
-            pltpu.VMEM((_max_dyn_blocks(chunk_plan), 1),
-                       jnp.float32),                # walk key column
-        ],
+        ] + _stream_scratch(chunk_plan, kdim, stream),
     )
 
     def run(rays, vol_u, props, aabbs):
@@ -774,11 +945,18 @@ _TILE_OVERRIDE = None
 def _pick_tile(scene: S.Scene) -> int:
     if _TILE_OVERRIDE is not None:
         return _TILE_OVERRIDE
+    if any(_two_level(e) for e in scene.chunk_plan):
+        return TILE          # stress tier measured at 1024 (scaling.json)
+    # Atlas scenes with MANY blocks keep 1024 (scene 4: 12.49 @1024 vs
+    # 12.15 @2048 under stoch565); small-plan scenes prefer 2048 whether
+    # atlas-free (scene 1: 22.3 -> 23.7, round-4 sweep) or atlas-bearing
+    # now that stoch565 halved the gather share (scene 2: 19.08 -> 19.51).
+    n_blocks = sum(e[2] // e[6] for e in scene.chunk_plan)
+    if n_blocks <= 12:
+        return 2 * TILE
     if bool(scene.tex_present[S.TEX_IMAGE]) or bool(
             scene.tex_present[S.TEX_NOISE]):
         return TILE
-    if any(_two_level(e) for e in scene.chunk_plan):
-        return TILE          # stress tier measured at 1024 (scaling.json)
     return 2 * TILE
 
 
@@ -797,12 +975,32 @@ def trace_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time, vol_u):
     rays = _pad_tile(rays, n_pad)
     vu = _pad_tile(vol_u, n_pad)
     props = build_props(scene, any_xform)
+    stream = _props_stream(scene.chunk_plan, props.shape[1])
+    if stream:
+        props = _pad_props_guard(props, scene.chunk_plan)
 
     run = _make_tracer(scene.chunk_plan, scene.vol_slots_static, scene.n_vol,
                        float(tmin), any_xform, n_pad // tile, props.shape[1],
-                       _TWO_LEVEL_MIN, tile)
+                       _TWO_LEVEL_MIN, tile, stream)
     f32, i32 = run(rays, vu, props, augment_aabbs(scene))
     return _unpack_hit(f32, i32, n)
+
+
+_LANE = 128      # Mosaic lane width: HBM DMA slices must be 128-aligned
+
+
+def _pad_props_guard(props, chunk_plan):
+    """Streaming-mode table padding: (a) guard rows after the table so a
+    partial LAST super's fixed-size per-super DMA (_sup_dma) stays in
+    bounds (pad blocks are never visited — inverted AABBs — so the rows'
+    content is never read); (b) columns padded to the 128-lane tile,
+    because Mosaic requires HBM DMA slices lane-aligned and lays the HBM
+    buffer out 128-wide regardless (the pad costs no real memory).  The
+    kernels keep their winner-record scratch at the REAL column count and
+    read padded refs with explicit 0:K slices."""
+    _, _, sup_rows = _stream_plan(chunk_plan)
+    kpad = -props.shape[1] % _LANE
+    return jnp.pad(props, ((0, sup_rows), (0, kpad)))
 
 
 def _unpack_hit(f32, i32, n):
@@ -832,14 +1030,15 @@ def _unpack_hit(f32, i32, n):
 # ---------------------------------------------------------------------------
 
 def _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref,
-                vu_base, props_ref, aabb_ref, occ_ref, nm_ref, kb_ref,
-                want=None):
+                vu_base, ctx, aabb_ref, occ_ref, nm_ref, want=None):
     """Any-hit sweep into occ_ref[0, :] (1.0 = occluded); blocks whose AABB
     no still-unoccluded wanting ray in the tile can reach are skipped (which
     also early-exits once the whole tile is resolved).  Large groups run the
     dynamic near-ordered traversal (_dyn_occl)."""
     n = o.x.shape[0]
     occ_ref[:, :] = jnp.zeros((1, n), jnp.float32)
+    if ctx.stream:
+        _load_resident(ctx, chunk_plan)
 
     culls = _use_block_culls(chunk_plan)
     sup_off = _super_offsets(chunk_plan)
@@ -847,17 +1046,19 @@ def _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref,
     for ei, entry in enumerate(chunk_plan):
         start, count, size, ptype, axis, has_xform, block = entry
         if _is_dynamic(entry):
-            _dyn_occl(entry, blk_id, sup_off.get(ei), props_ref, aabb_ref,
-                      nm_ref, kb_ref, occ_ref, o, d, time, tmax, tmin, want)
+            _dyn_occl(entry, ei, blk_id, sup_off.get(ei), ctx, aabb_ref,
+                      nm_ref, occ_ref, o, d, time, tmax, tmin, want)
             blk_id += size // block
             continue
+        s_ref, s_off = _flat_src(ctx, ei, entry)
         for b0 in range(start, start + size, block):
             bid = blk_id
             blk_id += 1
 
-            def run_block(entry=entry, b0=b0):
-                t, _C = _block_test(props_ref, vu_ref, vol_slots, entry, b0,
-                                    o, d, tmin, tmax, time, vu_base)
+            def run_block(entry=entry, b0=b0, s_ref=s_ref, s_off=s_off):
+                t, _C = _block_test(s_ref, vu_ref, vol_slots, entry, b0,
+                                    o, d, tmin, tmax, time, vu_base,
+                                    row_off=s_off)
                 hit_any = jnp.max((t < BIG).astype(jnp.float32), axis=0)
                 occ_ref[0, :] = jnp.maximum(occ_ref[0, :], hit_any)
 
@@ -873,28 +1074,31 @@ def _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref,
                 run_block()
 
 
-def _occl_body(chunk_plan, vol_slots, n_vol, tmin, rays_ref, vu_ref,
-               props_ref, aabb_ref, out_ref, nm_ref, kb_ref):
+def _occl_body(chunk_plan, vol_slots, n_vol, tmin, stream, rays_ref, vu_ref,
+               props_ref, aabb_ref, out_ref, nm_ref, *stream_refs):
     o = Vec3(rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
     d = Vec3(rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
     time = rays_ref[6, :]
     tmax = rays_ref[7, :]
+    ctx = _make_ctx(chunk_plan, stream, props_ref, stream_refs)
     _occl_sweep(chunk_plan, vol_slots, tmin, o, d, time, tmax, vu_ref, 0,
-                props_ref, aabb_ref, out_ref, nm_ref, kb_ref)
+                ctx, aabb_ref, out_ref, nm_ref)
 
 
 @functools.lru_cache(maxsize=64)
 def _make_occluder(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles,
-                   two_level_min, tile):
+                   kdim, two_level_min, tile, stream):
     del two_level_min          # cache-key only (see _make_tracer)
-    kern = functools.partial(_occl_body, chunk_plan, vol_slots, n_vol, tmin)
+    kern = functools.partial(_occl_body, chunk_plan, vol_slots, n_vol, tmin,
+                             stream)
+    props_space = pl.ANY if stream else pltpu.VMEM
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((max(n_vol, 1), tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=props_space),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # block AABBs
         ],
         out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
@@ -902,9 +1106,7 @@ def _make_occluder(chunk_plan, vol_slots, n_vol, tmin, any_xform, n_tiles,
         scratch_shapes=[
             pltpu.VMEM((_max_dyn_blocks(chunk_plan), tile),
                        jnp.float32),                # block near matrix
-            pltpu.VMEM((_max_dyn_blocks(chunk_plan), 1),
-                       jnp.float32),                # walk key column
-        ],
+        ] + _stream_scratch(chunk_plan, kdim, stream),
     )
 
     def run(rays, vol_u, props, aabbs):
@@ -929,8 +1131,11 @@ def occluded_pallas(scene: S.Scene, o: Vec3, d: Vec3, tmin, tmax, time,
     rays = _pad_tile(rays, n_pad)
     vu = _pad_tile(vol_u, n_pad)
     props = build_props(scene, any_xform)
+    stream = _props_stream(scene.chunk_plan, props.shape[1])
+    if stream:
+        props = _pad_props_guard(props, scene.chunk_plan)
     run = _make_occluder(scene.chunk_plan, scene.vol_slots_static,
                          scene.n_vol, float(tmin), any_xform, n_pad // tile,
-                         _TWO_LEVEL_MIN, tile)
+                         props.shape[1], _TWO_LEVEL_MIN, tile, stream)
     occ = run(rays, vu, props, augment_aabbs(scene))
     return occ[0, :n] > 0.5

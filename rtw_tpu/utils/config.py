@@ -67,13 +67,23 @@ class RenderConfig:
     # Image-texture filtering ----------------------------------------------
     # "rgb565":     bilinear from the RGB565 pair atlas — 2 flat gathers
     #               per fetch (gathers dominate image-texture cost on TPU),
-    #               ~1.5% color quantization.  Default.
+    #               ~1.5% color quantization.
     # "rgb8":       exact 8-bit bilinear, 4 gathers (the reference's
     #               cudaTextureObject_t semantics, ioTexture.h:293-311).
     # "nearest565": point-sampled 565, ONE gather — the speed end of the
     #               ladder for gather-bound scenes (measured deltas in
     #               docs/ROADMAP.md "Scene-4 headroom").
-    tex_filter: str = "rgb565"
+    # "stoch565":   stochastic bilinear from the 565 pair atlas — ONE
+    #               gather: the y texel row is sampled by its bilinear
+    #               weight (dedicated RNG slot), x blends exactly.
+    #               E[fetch] == the "rgb565" bilinear value, so spp
+    #               averaging converges to the same image (added variance
+    #               is texel-difference scale, far below path noise) at
+    #               nearest-mode gather cost.  ops/textures._image_stoch_565.
+    #               DEFAULT (round 5): scene 2 16.4 -> 19.1, scene 4
+    #               11.0 -> 12.5 Mrays/s; use "rgb565"/"rgb8" for a
+    #               deterministic per-sample filter.
+    tex_filter: str = "stoch565"
 
     # Tile-granular atlas gate: route per-lane image-atlas gathers through
     # 1024-lane granule compaction (only granules containing an

@@ -28,9 +28,9 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 EXPECTED = {
     0: [0.139198, 0.124440, 0.113935],
     1: [0.331535, 0.377647, 0.476739],
-    2: [0.161120, 0.156394, 0.164603],
+    2: [0.161109, 0.156372, 0.164586],
     3: [0.477820, 0.486974, 0.525290],
-    4: [0.357404, 0.377785, 0.358126],
+    4: [0.357408, 0.377792, 0.358139],
     5: [0.371871, 0.457955, 0.107648],
 }
 

@@ -202,3 +202,56 @@ def test_tiled_atlas_gate_exact():
         m = need.reshape(-1)
         np.testing.assert_allclose(out[m], full[m], atol=1e-6,
                                    err_msg=f"tiles={needing_tiles}")
+
+
+def test_stoch565_expectation_is_bilinear():
+    """cfg.tex_filter='stoch565' (one-gather stochastic-row bilinear) is an
+    UNBIASED estimator of the 565 bilinear value: averaging the fetch over
+    many independent row-selection uniforms converges to
+    _image_bilinear_565 at every (u, v), and each single draw is one of
+    the two x-blended rows (bounded by the two row values)."""
+    import jax.numpy as jnp
+    from rtw_tpu.ops.textures import _image_bilinear_565, _image_stoch_565
+    import rtw_tpu as rt
+
+    scene = rt.build_scene(2, 64, 32)   # has the earth image texture
+    tex = scene.textures
+    rng = np.random.default_rng(11)
+    n = 512
+    u = jnp.asarray(rng.uniform(-0.1, 1.1, n), jnp.float32)  # past the edges
+    v = jnp.asarray(rng.uniform(-0.1, 1.1, n), jnp.float32)
+    iid = jnp.zeros(n, jnp.int32)
+    want = np.asarray(_image_bilinear_565(tex, iid, u, v).stack())
+
+    reps = 2048
+    acc = np.zeros_like(want)
+    for r in range(reps):
+        xi = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+        acc += np.asarray(_image_stoch_565(tex, iid, u, v, xi).stack())
+    mean = acc / reps
+    # MC error of a Bernoulli mix of two texel rows at 2048 draws: the
+    # row gap is <= 1.0 per channel -> se <= 0.5/sqrt(2048) ~ 0.011/channel
+    assert np.abs(mean - want).max() < 0.06
+    assert np.abs(mean - want).mean() < 0.01
+
+
+def test_stoch565_render_matches_bilinear():
+    """A real render with tex_filter='stoch565' converges to the rgb565
+    image: same scene/sampling, the two estimators differ only in texture
+    filtering, so at moderate spp the images must agree to MC-noise
+    tolerance on average."""
+    import rtw_tpu as rt
+
+    nx, ny, spp = 64, 32, 64
+    scene = rt.build_scene(2, nx, ny)
+    import dataclasses
+    base = rt.RenderConfig(nx=nx, ny=ny, spp=spp, max_depth=8, scene_id=2)
+    a = np.asarray(rt.render(scene, dataclasses.replace(
+        base, tex_filter="rgb565")))
+    b = np.asarray(rt.render(scene, dataclasses.replace(
+        base, tex_filter="stoch565")))
+    assert np.isfinite(b).all()
+    # identical estimator draws (the filter uniform rides a dedicated
+    # slot), so differences are confined to image-texture paths
+    assert np.abs(a - b).mean() < 0.01
+    assert np.abs(a - b).max() < 0.35

@@ -180,3 +180,70 @@ def test_kernel_two_level_traversal_matches_jnp(monkeypatch):
     np.testing.assert_allclose(np.asarray(h_ref.t)[hit],
                                np.asarray(h_k.t)[hit], rtol=2e-4)
     np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ_k))
+
+
+def _mixed_big_scene():
+    """A big two-level sphere group PLUS flat-dynamic boxes and static
+    rect/volume groups, so props-streaming mode exercises every residency
+    route at once: per-super DMA (spheres), resident flat walk (boxes),
+    resident static sweep (rects + volume)."""
+    from rtw_tpu.models.builder import SceneBuilder
+    import rtw_tpu.models.scene as S
+
+    b = SceneBuilder()
+    rng = np.random.default_rng(7)
+    mat = b.lambertian(b.constant_texture((0.5, 0.5, 0.5)))
+    for _ in range(2500):                      # 40 blocks: two-level @ min 32
+        b.sphere(rng.uniform(-200, 200, 3), rng.uniform(1.0, 5.0), mat)
+    for _ in range(200):                       # >= 3 blocks: flat dynamic
+        lo = rng.uniform(-200, 200, 3)
+        b.box(lo, lo + rng.uniform(2.0, 10.0, 3), mat)
+    for _ in range(4):
+        a0, b0 = rng.uniform(-200, 180, 2)
+        b.rect(a0, a0 + 20, b0, b0 + 20, rng.uniform(-200, 200), False,
+               S.AXIS_Y, mat)
+    b.volume_sphere((0.0, 0.0, 100.0), 30.0, 0.05,
+                    b.isotropic(b.constant_texture((1.0, 1.0, 1.0))))
+    b.set_camera(lookfrom=(0, 0, -500), lookat=(0, 0, 0), vup=(0, 1, 0),
+                 vfov=40.0, aspect=1.0, aperture=0.0, focus_dist=10.0)
+    return b.build()
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_kernel_props_streaming_matches_resident(monkeypatch):
+    """HBM props streaming (resident-group DMA + per-super DMA) is exactly
+    the whole-table-resident kernel: same winners, t, occlusion."""
+    monkeypatch.setattr(TK, "_TWO_LEVEL_MIN", 32)
+    scene = _mixed_big_scene()
+    assert any(TK._two_level(e) for e in scene.chunk_plan)
+    assert any(TK._is_dynamic(e) and not TK._two_level(e)
+               for e in scene.chunk_plan)
+    assert any(not TK._is_dynamic(e) for e in scene.chunk_plan)
+    # partial last super exercises the guard-tail DMA overhang
+    assert any((e[2] // e[6]) % TK._GROUP for e in scene.chunk_plan
+               if TK._two_level(e))
+    rng = np.random.default_rng(21)
+    n = TK.TILE
+    o, d = _rand_rays(rng, n, 250.0, (0.0, 0.0, 0.0))
+    tm = jnp.zeros((n,), jnp.float32)
+    vu = jnp.full((1, n), 0.5, jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setattr(TK, "_PROPS_STREAM_OVERRIDE", False)
+        h_res, sh_res = TK.trace_pallas(scene, o, d, 1e-6, 1e27, tm, vu)
+        occ_res = TK.occluded_pallas(scene, o, d, 1e-4, 1e4, tm, vu)
+        monkeypatch.setattr(TK, "_PROPS_STREAM_OVERRIDE", True)
+        h_st, sh_st = TK.trace_pallas(scene, o, d, 1e-6, 1e27, tm, vu)
+        occ_st = TK.occluded_pallas(scene, o, d, 1e-4, 1e4, tm, vu)
+
+    np.testing.assert_array_equal(np.asarray(h_res.prim_idx),
+                                  np.asarray(h_st.prim_idx))
+    assert (np.asarray(h_res.prim_idx) >= 0).sum() > 100
+    np.testing.assert_array_equal(np.asarray(h_res.t), np.asarray(h_st.t))
+    np.testing.assert_array_equal(np.asarray(h_res.point.stack()),
+                                  np.asarray(h_st.point.stack()))
+    np.testing.assert_array_equal(np.asarray(occ_res), np.asarray(occ_st))
+    np.testing.assert_array_equal(np.asarray(sh_res.mat_type),
+                                  np.asarray(sh_st.mat_type))
+    np.testing.assert_array_equal(np.asarray(sh_res.rgb.stack()),
+                                  np.asarray(sh_st.rgb.stack()))

@@ -30,10 +30,14 @@ REF = ("/root/reference/RestOfLife/assets/img/"
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=200)
+    ap.add_argument("--denoise", action="store_true",
+                    help="score denoise(render) against the reference PNG "
+                         "(which IS denoiser output) — the round-5 control "
+                         "that bounds how much of the live-vs-reference "
+                         "residual the phantom-NEE reproduction explains "
+                         "once the noise regime is removed from both sides")
     ap.add_argument("--width", type=int, default=400)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs", "parity", "scene2_archaeology.png"))
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     from PIL import Image
@@ -50,12 +54,23 @@ def main():
 
     cfg = rt.RenderConfig(nx=nx, ny=ny, spp=args.spp, max_depth=20,
                           scene_id=2)
+
+    def shoot(scene):
+        if args.denoise:
+            from rtw_tpu.denoise import denoise
+
+            linear = rt.render(scene, cfg)
+            disp = np.asarray(denoise(linear, scene, cfg, mode="ldr",
+                                      gamma=cfg.gamma))
+            return np.clip(disp, 0.0, 1.0)[::-1]
+        img8 = rt.render_image(scene, cfg)
+        return np.asarray(img8, np.float32) / 255.0
+
     renders = {}
     for variant in ["live", "sky_y10"]:
         scene = registry.in_one_weekend_light(nx / ny,
                                               light_variant=variant)
-        img8 = rt.render_image(scene, cfg)
-        renders[variant] = np.asarray(img8, np.float32) / 255.0
+        renders[variant] = shoot(scene)
 
     # Third hypothesis — the reference's own NEE divergence (QUIRKS #16):
     # its PDF tree samples the PHANTOM rect {3,5, 2.3,6, z=-2}
@@ -76,9 +91,14 @@ def main():
         area=jnp.asarray([2.0 * 3.7], jnp.float32),
         normal=jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32))
     scene = dataclasses.replace(scene, lights=phantom)
-    img8 = rt.render_image(scene, cfg)
-    renders["phantom_nee"] = np.asarray(img8, np.float32) / 255.0
+    renders["phantom_nee"] = shoot(scene)
 
+    if args.out is None:
+        args.out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "docs", "parity",
+            "scene2_archaeology%s.png" % ("_denoised" if args.denoise
+                                          else ""))
     scores = {k: ssim(v, ref_small) for k, v in renders.items()}
     strip = np.concatenate([renders["live"], ref_small,
                             renders["sky_y10"], renders["phantom_nee"]],
@@ -90,7 +110,7 @@ def main():
         "ssim_live_vs_ref": round(scores["live"], 4),
         "ssim_y10_variant_vs_ref": round(scores["sky_y10"], 4),
         "ssim_phantom_nee_vs_ref": round(scores["phantom_nee"], 4),
-        "strip": args.out,
+        "strip": args.out, "denoised": bool(args.denoise),
         "strip_order": "live | reference | y10-variant | phantom-NEE",
         "best_match": best,
     }), flush=True)
