@@ -134,7 +134,17 @@ def _light_pdf_at(scene: S.Scene, origin: Vec3, point: Vec3, dir_unit: Vec3,
     light arrangement (coplanar, adjacent, grazing), unlike a geometric
     containment test.  Emissive geometry that is NOT registered as a light
     resolves to row -1 -> pdf 0 — correct, since NEE can never sample it, so
-    the BSDF sample carries full weight (power_heuristic(p, 0) = 1)."""
+    the BSDF sample carries full weight (power_heuristic(p, 0) = 1).
+
+    ONE-SIDED, matching NEE's validity gate exactly (round-5 fix): NEE
+    refuses samples where the light faces away from the shading point
+    (bounce_core's costa > 1e-6), so a BSDF ray hitting a light's BACK
+    side must see pdf 0 here (-> full BSDF weight), not the abs() pdf —
+    the abs() form discounted back-side hits as if NEE covered them,
+    losing energy.  Invisible to the reference scenes (their registered
+    light normals all face the scene; the back sides are unreachable) but
+    a ~10% deficit in a closed light cavity — caught by the round-5
+    furnace test (test_furnace_cavity_exact backface variant)."""
     lights = scene.lights
     L = max(scene.num_lights, 1)
     d = point - origin
@@ -144,16 +154,17 @@ def _light_pdf_at(scene: S.Scene, origin: Vec3, point: Vec3, dir_unit: Vec3,
         # every emissive prim IS light row 0: closed form, no row gather
         ln = V.v3(lights.normal[0])
         area = lights.area[0]
-        cos_t = jnp.abs(dir_unit.dot(ln))
-        cos_t = jnp.where(mask & (cos_t > 1e-6), cos_t, 1.0)
-        return dist2 / (area * cos_t) / np.float32(L)
+        cos_t = -dir_unit.dot(ln)            # signed: NEE samples only the
+        sel = mask & (cos_t > 1e-6)          # side the normal faces
+        pdf = dist2 / (area * jnp.where(sel, cos_t, 1.0)) / np.float32(L)
+        return jnp.where(sel, pdf, 0.0)
 
     row = scene.prims.light_row_p[jnp.maximum(prim_idx, 0)]
     row = jnp.where(mask & (prim_idx >= 0), row, -1)
     r = jnp.maximum(row, 0)
     area = lights.area[r]
     ln = V.gather_rows(lights.normal, r)
-    cos_t = jnp.abs(dir_unit.dot(ln))
+    cos_t = -dir_unit.dot(ln)                # signed (see docstring)
     sel = (row >= 0) & (cos_t > 1e-6)
     pdf = dist2 / (jnp.where(sel, area * cos_t, 1.0) * np.float32(L))
     return jnp.where(sel, pdf, 0.0)

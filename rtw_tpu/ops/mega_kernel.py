@@ -253,12 +253,17 @@ def _mega_body(chunk_plan, vol_slots, any_xform, n_vol, nx, ny,
     # Environment accessors: SMEM light scalars, Mosaic-safe cbrt, in-kernel
     # occlusion sweep.  L == 1 always (gated by _mega_backend).
     def light_pdf_at(o_, p_, du_, pi_, m_):
+        # one-sided, mirroring integrator._light_pdf_at's round-5 fix:
+        # NEE never samples a light's back side, so back-side BSDF hits
+        # must see pdf 0 (full BSDF weight), not the abs() pdf
         dvec = p_ - o_
         dist2 = jnp.where(m_, dvec.dot(dvec), 1.0)
         lnrm = _sv(parf_ref, PF_LNRM)
-        cos_t2 = jnp.abs(du_.dot(lnrm))
-        cos_t2 = jnp.where(m_ & (cos_t2 > 1e-6), cos_t2, 1.0)
-        return dist2 / (parf_ref[0, PF_LAREA] * cos_t2)
+        cos_t2 = -du_.dot(lnrm)
+        sel = m_ & (cos_t2 > 1e-6)
+        pdf = dist2 / (parf_ref[0, PF_LAREA]
+                       * jnp.where(sel, cos_t2, 1.0))
+        return jnp.where(sel, pdf, 0.0)
 
     def pick_light(u_sel, ua, ub):
         lpos = (_sv(parf_ref, PF_LPOS) + _sv(parf_ref, PF_LU) * ua

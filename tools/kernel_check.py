@@ -129,6 +129,10 @@ def main():
          (0.0, 1.0, 1.0)),
         ("stress_16384_two_level", build_stress_scene(16384), 250.0,
          (0.0, 0.0, 0.0)),
+        # round 5: HBM props streaming tier (table > _PROPS_STREAM_BYTES
+        # -> per-super DMA path) checked against the same jnp reference
+        ("stress_131072_streamed", build_stress_scene(131072), 250.0,
+         (0.0, 0.0, 0.0)),
     ]
     reports = []
     for label, scene, scale, shift in cases:
