@@ -48,9 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="depth of field: 'reference' = off (parity with the "
                         "reference, which never wires the lens radius), "
                         "'book' = literal scene apertures")
-    p.add_argument("--estimator", choices=["mis", "reference"], default="mis",
-                   help="'mis': MIS-weighted BSDF light hits (unbiased); "
-                        "'reference': unweighted, parity with the CUDA ref")
+    p.add_argument("--estimator", choices=["mis", "reference", "book"],
+                   default="mis",
+                   help="'mis': NEE + MIS-weighted BSDF light hits "
+                        "(unbiased, lowest variance); 'reference': NEE with "
+                        "unweighted BSDF light hits, parity with the CUDA "
+                        "ref; 'book': the books' literal 0.5/0.5 "
+                        "cosine/light mixture (no shadow rays)")
     p.add_argument("--checkpoint", default=None,
                    help="accumulator checkpoint path (resume if it exists)")
     p.add_argument("--checkpoint-every", type=int, default=0,
@@ -67,11 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the render into "
                         "this directory (view with TensorBoard/Perfetto)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
-    p.add_argument("--scheduler", choices=["auto", "queue", "regen"],
+    p.add_argument("--scheduler",
+                   choices=["auto", "queue", "regen", "mega", "qmega"],
                    default="auto",
                    help="wavefront scheduler: global work-queue (fast on "
-                        "uneven scenes) vs per-lane regeneration (bitwise "
-                        "batch/mesh-shape-invariant); auto picks per scene")
+                        "uneven scenes), per-lane regeneration (bitwise "
+                        "batch/mesh-shape-invariant), whole-bounce "
+                        "megakernel, or the queue+megakernel hybrid; "
+                        "auto picks per scene")
     return p
 
 
@@ -103,7 +110,9 @@ def main(argv=None) -> int:
     cfg = RenderConfig(nx=nx, ny=ny, spp=ns, max_depth=args.max_depth,
                        seed=args.seed, scene_id=args.scene,
                        scheduler=args.scheduler,
-                       mis_bsdf_weight=(args.estimator == "mis"),
+                       estimator=("book" if args.estimator == "book"
+                                  else "mis"),
+                       mis_bsdf_weight=(args.estimator != "reference"),
                        # metrics sidecar requested -> collect the per-bounce
                        # wavefront counters too (single-device render path)
                        bounce_stats=bool(args.metrics_json
