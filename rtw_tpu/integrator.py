@@ -417,26 +417,30 @@ class WavefrontStats(NamedTuple):
     occ_cnt: Any         # [CAP] f32: contributions at iteration i
 
 
-def _stats_zero(max_depth: int) -> WavefrontStats:
+def _stats_zero(max_depth: int, trace: bool = False) -> WavefrontStats:
+    cap = _OCC_TRACE_CAP if trace else 0
     return WavefrontStats(
         len_hist=jnp.zeros((max_depth + 1,), jnp.float32),
         iters=jnp.zeros((), jnp.float32),
         alive_sum=jnp.zeros((), jnp.float32),
-        occ_sum=jnp.zeros((_OCC_TRACE_CAP,), jnp.float32),
-        occ_cnt=jnp.zeros((_OCC_TRACE_CAP,), jnp.float32),
+        occ_sum=jnp.zeros((cap,), jnp.float32),
+        occ_cnt=jnp.zeros((cap,), jnp.float32),
     )
 
 
-def _stats_update(st: WavefrontStats, alive, it) -> WavefrontStats:
-    """Record one wavefront iteration's occupancy: cheap scalar counters
-    plus one scalar-indexed trace update (path lengths are recorded
-    separately at finish time, _stats_record_lengths)."""
+def _stats_update(st: WavefrontStats, alive, it, trace: bool) -> WavefrontStats:
+    """Record one wavefront iteration's occupancy: cheap scalar counters;
+    with `trace` (cfg.occupancy_trace) also the per-iteration occupancy
+    curve — two [CAP] scatter-adds per iteration, the part worth ~15%
+    (path lengths are recorded separately at finish time,
+    _stats_record_lengths)."""
     a_f = alive.astype(jnp.float32)
     n_alive = jnp.sum(a_f)
+    st = st._replace(iters=st.iters + 1.0, alive_sum=st.alive_sum + n_alive)
+    if not trace:
+        return st
     ti = jnp.minimum(it.astype(jnp.int32), _OCC_TRACE_CAP - 1)
     return st._replace(
-        iters=st.iters + 1.0,
-        alive_sum=st.alive_sum + n_alive,
         occ_sum=st.occ_sum.at[ti].add(n_alive),
         occ_cnt=st.occ_cnt.at[ti].add(1.0),
     )
@@ -873,14 +877,16 @@ def trace_wavefront_regen(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         pixel=pixel_idx,
         slot=jnp.arange(n, dtype=jnp.int32),
         thresh=jnp.asarray(n, jnp.int32),
-        stats=_stats_zero(cfg.max_depth) if cfg.bounce_stats else (),
+        stats=(_stats_zero(cfg.max_depth, cfg.occupancy_trace)
+               if cfg.bounce_stats else ()),
     )
 
     def cond(wf):
         return jnp.any(wf.path.alive)
 
     def body(wf):
-        stats = (_stats_update(wf.stats, wf.path.alive, wf.stats.iters)
+        stats = (_stats_update(wf.stats, wf.path.alive, wf.stats.iters,
+                               cfg.occupancy_trace)
                  if cfg.bounce_stats else ())
         st = bounce_step(scene, cfg, wf.path_keys, wf.path, wf.depth)
         depth = wf.depth + 1
@@ -1068,7 +1074,8 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         rays=jnp.zeros((), jnp.float32),
         cursor=jnp.asarray(n, jnp.int32),
         thresh=jnp.asarray(n, jnp.int32),
-        stats=_stats_zero(cfg.max_depth) if cfg.bounce_stats else (),
+        stats=(_stats_zero(cfg.max_depth, cfg.occupancy_trace)
+               if cfg.bounce_stats else ()),
     )
 
     def cond(wf):
@@ -1134,7 +1141,8 @@ def trace_wavefront_queue(scene: S.Scene, cfg, pixel_idx, key, s0: int,
         )
 
     def body(wf):
-        stats = (_stats_update(wf.stats, wf.path.alive, wf.stats.iters)
+        stats = (_stats_update(wf.stats, wf.path.alive, wf.stats.iters,
+                               cfg.occupancy_trace)
                  if cfg.bounce_stats else ())
         st = bounce_step(scene, cfg, wf.path_keys, wf.path, wf.depth)
         # dead (pending) lanes keep their final depth: at flush time

@@ -93,7 +93,8 @@ def render(scene, cfg, key=None, verbose: bool = False,
 
     from rtw_tpu.integrator import _stats_zero
 
-    stats0 = _stats_zero(cfg.max_depth) if cfg.bounce_stats else ()
+    stats0 = (_stats_zero(cfg.max_depth, cfg.occupancy_trace)
+              if cfg.bounce_stats else ())
     accums = [(jnp.zeros((batch, 3), jnp.float32),
                jnp.zeros((), jnp.float32), stats0) for _ in range(n_tiles)]
     spp_done = 0

@@ -138,9 +138,11 @@ def test_nan_free_all_scenes():
 
 def test_bounce_stats_metrics():
     """cfg.bounce_stats populates per-bounce ray counts and occupancy in the
-    metrics dict without changing the image (SURVEY §5 wavefront metrics)."""
+    metrics dict without changing the image (SURVEY §5 wavefront metrics).
+    occupancy_trace adds the per-iteration curve (round-5 split: the curve
+    is the expensive part and is opt-in)."""
     cfg = rt.RenderConfig(nx=40, ny=24, spp=4, max_depth=8, scene_id=5,
-                          bounce_stats=True)
+                          bounce_stats=True, occupancy_trace=True)
     scene = rt.build_scene(5, cfg.nx, cfg.ny)
     m = {}
     img = np.asarray(rt.render(scene, cfg, metrics=m))
@@ -161,6 +163,16 @@ def test_bounce_stats_metrics():
     assert m["wavefront_iterations"] >= cfg.max_depth
     occ = m["occupancy_by_iter"]
     assert occ and occ[0] == 1.0 and occ[-1] <= occ[0]
+
+    # counters-only mode (production default): same counters, no curve
+    cfg_c = rt.RenderConfig(nx=40, ny=24, spp=4, max_depth=8, scene_id=5,
+                            bounce_stats=True)
+    mc = {}
+    img_c = np.asarray(rt.render(scene, cfg_c, metrics=mc))
+    np.testing.assert_array_equal(img_c, img_off)
+    assert mc["rays_by_depth"] == m["rays_by_depth"]
+    assert mc["mean_occupancy"] == m["mean_occupancy"]
+    assert mc["occupancy_by_iter"] == []
 
 
 def test_mis_unbiased_vs_bsdf_only():

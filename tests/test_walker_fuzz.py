@@ -86,8 +86,14 @@ def test_walker_fuzz_flat_twolevel_jnp(seed, monkeypatch):
     occ_ref = occluded(scene, o, d, 1e-4, 1e4, tm, vu)
 
     results = {}
-    for name, tlm in [("flat", 10 ** 9), ("two_level", 4)]:
+    # third variant: HBM props streaming forced ON with MULTIPLE two-level
+    # groups (spheres + boxes + rects all cross the lowered threshold) —
+    # per-group super DMA bases, shared sup_ref window, resident tail
+    for name, tlm, stream in [("flat", 10 ** 9, False),
+                              ("two_level", 4, False),
+                              ("two_level_streamed", 4, True)]:
         monkeypatch.setattr(TK, "_TWO_LEVEL_MIN", tlm)
+        monkeypatch.setattr(TK, "_PROPS_STREAM_OVERRIDE", stream)
         TK.validate_walk_layout(scene)       # static index arithmetic
         with pltpu.force_tpu_interpret_mode():
             results[name] = _trace_all(scene, o, d, tm, vu)

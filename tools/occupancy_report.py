@@ -33,7 +33,7 @@ def main(argv):
         for sched in ("queue", "regen"):
             cfg = rt.RenderConfig(nx=nx, ny=ny, spp=spp, max_depth=20,
                                   scene_id=sid, scheduler=sched,
-                                  bounce_stats=True)
+                                  bounce_stats=True, occupancy_trace=True)
             rt.render(scene, cfg)            # warm-up, identical config
             m = {}
             img = rt.render(scene, cfg, metrics=m)
