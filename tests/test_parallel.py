@@ -224,3 +224,30 @@ def test_sharded_pallas_queue_interpret(small_setup):
                               mode="pixels")
     assert np.isfinite(img1).all()
     np.testing.assert_allclose(np.asarray(img1), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_sharded_image_texture_stoch565():
+    """Sharded rendering of an image-texture scene under the round-5
+    default stochastic-bilinear filter: the dedicated filter-jitter slot
+    is keyed by (pixel, sample, bounce) like every other draw, so the
+    regen-scheduler image must be bit-identical across mesh shapes, and
+    the queue scheduler must agree to fp-reassociation tolerance."""
+    import dataclasses
+
+    cfg = rt.RenderConfig(nx=40, ny=16, spp=4, max_depth=4, scene_id=2,
+                          scheduler="regen", tex_filter="stoch565")
+    scene = rt.build_scene(2, cfg.nx, cfg.ny)
+    ref = np.asarray(rt.render(scene, cfg))
+    assert np.isfinite(ref).all() and ref.max() > 0.0
+    img2 = np.asarray(render_sharded(scene, cfg,
+                                     make_mesh(jax.devices()[:2]),
+                                     mode="pixels"))
+    img8 = np.asarray(render_sharded(scene, cfg,
+                                     make_mesh(jax.devices()[:8]),
+                                     mode="pixels"))
+    np.testing.assert_array_equal(img2, ref)
+    np.testing.assert_array_equal(img8, ref)
+
+    cfg_q = dataclasses.replace(cfg, scheduler="queue")
+    img_q = np.asarray(rt.render(scene, cfg_q))
+    np.testing.assert_allclose(img_q, ref, atol=1e-5, rtol=1e-5)
